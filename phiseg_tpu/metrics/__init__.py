@@ -1,0 +1,17 @@
+"""On-device uncertainty / accuracy metrics."""
+
+from phiseg_tpu.metrics.metrics import (
+    dice_per_label,
+    generalised_energy_distance,
+    ncc,
+    pairwise_iou_distance,
+    variance_ncc_dist,
+)
+
+__all__ = [
+    "dice_per_label",
+    "generalised_energy_distance",
+    "ncc",
+    "pairwise_iou_distance",
+    "variance_ncc_dist",
+]

@@ -1,0 +1,153 @@
+"""Uncertainty and segmentation metrics, vectorised for TPU.
+
+TPU-native equivalents of the reference host-numpy metrics in `utils.py`:
+  generalised_energy_distance  (utils.py:270-322)  -- GED^2
+  variance_ncc_dist            (utils.py:326-370)  -- S_NCC
+  ncc                          (utils.py:103-118)
+plus the per-label Dice with the edge-case convention used by the eval CLIs
+(phiseg_test_predictions.py:67-78, phiseg_model.py:603-613).
+
+The reference computes GED^2 with O((N+M)^2) Python-loop pairwise IoU calls
+per image -- its single biggest eval bottleneck. Here the pairwise
+intersections are one (N+M, P) x (P, N+M) matmul per label on the MXU, and
+everything is jit/vmap-friendly with static sample counts.
+
+Edge-case conventions preserved exactly (utils.py:283-288):
+  both masks empty for a label -> IoU 1
+  exactly one empty            -> IoU 0
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _binary_pairwise_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU between two stacks of binary masks.
+
+    a: (N, P) float {0,1}; b: (M, P) float {0,1}. Returns (N, M) with the
+    reference edge cases: both empty -> 1, one empty -> 0.
+    """
+    inter = jax.lax.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)  # (N, M)
+    sa = jnp.sum(a, axis=1)  # (N,)
+    sb = jnp.sum(b, axis=1)  # (M,)
+    union = sa[:, None] + sb[None, :] - inter
+    both_empty = (sa[:, None] == 0) & (sb[None, :] == 0)
+    one_empty = ((sa[:, None] == 0) ^ (sb[None, :] == 0))
+    iou = inter / jnp.maximum(union, 1e-12)
+    iou = jnp.where(both_empty, 1.0, iou)
+    iou = jnp.where(one_empty, 0.0, iou)
+    return iou
+
+
+def pairwise_iou_distance(
+    masks_a: jax.Array,
+    masks_b: jax.Array,
+    label_range: Sequence[int],
+    nlabels_divisor: int | None = None,
+) -> jax.Array:
+    """d(s, y) = 1 - (1/nlabels) sum_l IoU_l(s, y) for every pair.
+
+    masks_a: (N, H, W) int; masks_b: (M, H, W) int. Returns (N, M).
+    Matches the reference `dist_fct` (utils.py:272-292) including the
+    division by the `nlabels` argument rather than len(label_range).
+    """
+    if nlabels_divisor is None:
+        nlabels_divisor = len(label_range)
+    n, m = masks_a.shape[0], masks_b.shape[0]
+    a_flat = masks_a.reshape(n, -1)
+    b_flat = masks_b.reshape(m, -1)
+    iou_sum = jnp.zeros((n, m), dtype=jnp.float32)
+    for lbl in label_range:
+        iou_sum = iou_sum + _binary_pairwise_iou(
+            (a_flat == lbl).astype(jnp.float32), (b_flat == lbl).astype(jnp.float32)
+        )
+    return 1.0 - iou_sum / float(nlabels_divisor)
+
+
+def generalised_energy_distance(
+    sample_arr: jax.Array,
+    gt_arr: jax.Array,
+    nlabels: int,
+    label_range: Sequence[int] | None = None,
+) -> jax.Array:
+    """GED^2 between N predicted masks and M ground-truth masks.
+
+    sample_arr: (N, H, W) int; gt_arr: (M, H, W) int. Exactly the reference
+    estimator (utils.py:294-322):
+      (2/NM) sum d(s,y) - (1/N^2) sum d(s,s') - (1/M^2) sum d(y,y')
+    (the biased version including self-distances, kept for metric parity).
+    """
+    if label_range is None:
+        label_range = tuple(range(nlabels))
+    n = sample_arr.shape[0]
+    m = gt_arr.shape[0]
+    d_sy = pairwise_iou_distance(sample_arr, gt_arr, label_range, nlabels)
+    d_ss = pairwise_iou_distance(sample_arr, sample_arr, label_range, nlabels)
+    d_yy = pairwise_iou_distance(gt_arr, gt_arr, label_range, nlabels)
+    return (
+        (2.0 / (n * m)) * jnp.sum(d_sy)
+        - (1.0 / n**2) * jnp.sum(d_ss)
+        - (1.0 / m**2) * jnp.sum(d_yy)
+    )
+
+
+def ncc(a: jax.Array, v: jax.Array, zero_norm: bool = True) -> jax.Array:
+    """Normalised cross-correlation of two maps (ref utils.py:103-118)."""
+    a = a.reshape(-1).astype(jnp.float32)
+    v = v.reshape(-1).astype(jnp.float32)
+    if zero_norm:
+        a = (a - jnp.mean(a)) / (jnp.std(a) * a.shape[0])
+        v = (v - jnp.mean(v)) / jnp.std(v)
+    else:
+        a = a / (jnp.std(a) * a.shape[0])
+        v = v / jnp.std(v)
+    return jnp.sum(a * v)
+
+
+def variance_ncc_dist(sample_probs: jax.Array, gt_onehot: jax.Array) -> jax.Array:
+    """S_NCC: NCC between sample-variance and sample-vs-GT error maps.
+
+    sample_probs: (N, H, W, C) softmax probabilities of N prior samples;
+    gt_onehot:    (M, H, W, C) one-hot ground truths of M annotators.
+    Matches the reference (utils.py:326-370): pixel-wise cross-entropy maps
+    E_ss (samples vs. their mean) and E_sy (samples vs. each GT), then the
+    mean over annotators of ncc(E_ss, E_sy_j).
+    """
+    eps = 1e-8
+    n = sample_probs.shape[0]
+    log_s = jnp.log(sample_probs.astype(jnp.float32) + eps)  # (N,H,W,C)
+    mean_seg = jnp.mean(sample_probs.astype(jnp.float32), axis=0)  # (H,W,C)
+
+    # E_ss = mean_i [ -sum_c mean_seg_c * log(s_i_c) ]  (utils.py:349-356)
+    e_ss = -jnp.einsum("hwc,nhwc->hw", mean_seg, log_s) / n
+    # E_sy_j = mean_i [ -sum_c gt_j_c * log(s_i_c) ]    (utils.py:358-363)
+    e_sy = -jnp.einsum("mhwc,nhwc->mhw", gt_onehot.astype(jnp.float32), log_s) / n
+
+    nccs = jax.vmap(lambda v: ncc(e_ss, v))(e_sy)  # (M,)
+    return jnp.mean(nccs)
+
+
+def dice_per_label(pred: jax.Array, gt: jax.Array, nlabels: int) -> jax.Array:
+    """Per-label Dice with the reference edge cases.
+
+    pred, gt: (..., H, W) int masks (broadcast over leading dims). Returns
+    (..., nlabels). Edge cases (phiseg_test_predictions.py:72-78): both
+    empty -> 1, exactly one empty -> 0.
+    """
+    dices = []
+    for lbl in range(nlabels):
+        p = (pred == lbl).astype(jnp.float32)
+        g = (gt == lbl).astype(jnp.float32)
+        axes = tuple(range(p.ndim - 2, p.ndim))
+        inter = jnp.sum(p * g, axis=axes)
+        sp = jnp.sum(p, axis=axes)
+        sg = jnp.sum(g, axis=axes)
+        d = 2.0 * inter / jnp.maximum(sp + sg, 1e-12)
+        d = jnp.where((sp == 0) & (sg == 0), 1.0, d)
+        d = jnp.where(((sp == 0) ^ (sg == 0)), 0.0, d)
+        dices.append(d)
+    return jnp.stack(dices, axis=-1)

@@ -1,0 +1,192 @@
+"""Core layers: convolution blocks, pooling, resizing.
+
+TPU-native equivalent of the reference op library `tfwrapper/layers.py`
+(conv2D: layers.py:94-145, averagepool2D: layers.py:44-54,
+global_averagepool2D: layers.py:70-78, bilinear_upsample2D: layers.py:336-345,
+nearest_neighbour_upsample2D: layers.py:326-333) and
+`tfwrapper/normalisation.py` (batch_norm: normalisation.py:145-163).
+
+All arrays are NHWC (the natural TPU conv layout). Modules carry an explicit
+compute `dtype` so the conv/matmul path can run in bfloat16 on the MXU while
+parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# He-normal (fan-in) initialisation, matching the reference's default
+# `weight_init='he_normal'` (tfwrapper/layers.py:104, tfwrapper/utils.py:214-271).
+he_normal = nn.initializers.he_normal()
+
+
+# ---------------------------------------------------------------------------
+# Pooling / resizing (pure functions)
+# ---------------------------------------------------------------------------
+
+
+def avg_pool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 average pooling, SAME padding (ref layers.py:44-54)."""
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 max pooling, SAME padding (ref layers.py:18-28)."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """Global average pool over spatial dims: NHWC -> NC (ref layers.py:70-78)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize of NHWC to given (H, W) (ref layers.py:336-345).
+
+    Uses half-pixel-centred sampling (jax.image default). The TF1 reference
+    used the legacy corner-aligned=False/half-pixel=False convention; the
+    modern convention is strictly more accurate and is used deliberately.
+    """
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest-neighbour resize of NHWC to (H, W) (ref layers.py:326-333)."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="nearest")
+
+
+def upsample_bilinear(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Bilinear upsample by an integer factor (ref layers.py:336-345)."""
+    _, h, w, _ = x.shape
+    return resize_bilinear(x, (h * factor, w * factor))
+
+
+def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
+    _, h, w, _ = x.shape
+    return resize_nearest(x, (h * factor, w * factor))
+
+
+# ---------------------------------------------------------------------------
+# Conv block
+# ---------------------------------------------------------------------------
+
+ActivationFn = Optional[Callable[[jax.Array], jax.Array]]
+
+
+class ConvBlock(nn.Module):
+    """Conv2D + optional normalisation + activation.
+
+    Equivalent of the reference `tfwrapper.layers.conv2D` (layers.py:94-145):
+    3x3 SAME conv by default, he_normal init, bias automatically disabled
+    under batch norm (layers.py:126-128), normalisation applied before the
+    activation (layers.py:134-135).
+
+    norm options mirror `tfwrapper/normalisation.py`:
+      'batch'    -> BatchNorm(momentum=.99, eps=1e-3)   (normalisation.py:145-163)
+      'group'    -> GroupNorm(16 ch/group, min 2 groups) (normalisation.py:17-36)
+      'layer'    -> LayerNorm over (H,W,C)               (normalisation.py:39-68)
+      'instance' -> per-image, per-channel norm          (normalisation.py:3-14)
+      'none'     -> identity
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    activation: ActivationFn = nn.relu
+    norm: str = "none"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        use_bias = self.norm != "batch"
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=use_bias,
+            kernel_init=he_normal,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+        # Normalisation layers intentionally do NOT get the compute dtype:
+        # with dtype=None flax promotes to the f32 parameter dtype, so batch
+        # statistics are always accumulated in float32 even on a bf16 path.
+        if self.norm == "batch":
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                name="bn",
+            )(x)
+        elif self.norm == "group":
+            num_groups = max(2, x.shape[-1] // 16)
+            x = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name="gn")(x)
+        elif self.norm == "layer":
+            x = nn.LayerNorm(epsilon=1e-3, name="ln",
+                             reduction_axes=(-3, -2, -1))(x)
+        elif self.norm == "instance":
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.var(x, axis=(1, 2), keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+            scale = self.param("in_scale", nn.initializers.normal(0.02), (x.shape[-1],))
+            offset = self.param("in_offset", nn.initializers.zeros, (x.shape[-1],))
+            x = x * (1.0 + scale.astype(x.dtype)) + offset.astype(x.dtype)
+        elif self.norm != "none":
+            raise ValueError(f"unknown norm: {self.norm!r}")
+
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class Dense(nn.Module):
+    """Dense layer (ref layers.py:539-582)."""
+
+    features: int
+    activation: ActivationFn = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.features, kernel_init=he_normal, dtype=self.dtype)(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def crop_and_concat(tensors: Sequence[jax.Array], axis: int = -1) -> jax.Array:
+    """Centre-crop NHWC tensors to the smallest common (H, W) and concat.
+
+    Skip-connection helper (ref tfwrapper/layers.py:586-622). With the usual
+    power-of-two image sizes this is a plain concat.
+    """
+    hs = [t.shape[1] for t in tensors]
+    ws = [t.shape[2] for t in tensors]
+    h, w = min(hs), min(ws)
+    cropped = []
+    for t in tensors:
+        dh = (t.shape[1] - h) // 2
+        dw = (t.shape[2] - w) // 2
+        cropped.append(t[:, dh:dh + h, dw:dw + w, :])
+    return jnp.concatenate(cropped, axis=axis)
+
+
+def reparameterize(rng: jax.Array, mu: jax.Array, sigma: jax.Array) -> jax.Array:
+    """Diagonal-Gaussian reparameterised sample z = mu + sigma * eps.
+
+    Equivalent of the in-graph `tf.random_normal` draws in the reference
+    (phiseg/model_zoo/posteriors.py:108,128) but with an explicit PRNG key so
+    multi-sample draws vectorise with vmap instead of batch tiling.
+    """
+    eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+    return mu + sigma * eps
