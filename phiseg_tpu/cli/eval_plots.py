@@ -1,0 +1,78 @@
+"""Results aggregation: mean +- std, paired t-tests, boxplots.
+
+Equivalent of `eval_ged_plot.py` / `eval_ncc_plot.py` / `eval_dice_plot.py`
+(ref eval_ged_plot.py:8-46): load per-experiment npz result arrays (written
+by the eval CLIs), print mean +- std per experiment, run pairwise paired
+t-tests (scipy.stats.ttest_rel) and optionally save a boxplot.
+
+Usage:
+  python -m phiseg_tpu.cli.eval_plots ged --files lidc/phiseg_7_5/ged50_best_ged.npz \
+      lidc/probunet/ged50_best_ged.npz --names phiseg probunet --plot out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def aggregate(metric: str, files, names=None, plot: str | None = None):
+    from scipy import stats
+
+    names = names or [f"exp{i}" for i in range(len(files))]
+    arrays = []
+    for f in files:
+        with np.load(f) as z:
+            arr = z[list(z.keys())[0]]
+        if metric == "dice" and arr.ndim == 2:
+            arr = arr[:, 1:].mean(axis=1)  # foreground mean (ref eval_dice_plot.py:29)
+        arrays.append(np.asarray(arr).ravel())
+
+    for name, arr in zip(names, arrays):
+        log.info("%s %s: %.4f +- %.4f (n=%d)", metric, name, arr.mean(), arr.std(), len(arr))
+
+    results = {"means": {n: float(a.mean()) for n, a in zip(names, arrays)},
+               "stds": {n: float(a.std()) for n, a in zip(names, arrays)},
+               "ttests": {}}
+    for i in range(len(arrays)):
+        for j in range(i + 1, len(arrays)):
+            if len(arrays[i]) == len(arrays[j]):
+                t, p = stats.ttest_rel(arrays[i], arrays[j])
+                results["ttests"][f"{names[i]} vs {names[j]}"] = (float(t), float(p))
+                log.info("paired t-test %s vs %s: t=%.3f p=%.2e",
+                         names[i], names[j], t, p)
+            else:
+                log.warning("skipping t-test %s vs %s: unequal n", names[i], names[j])
+
+    if plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(1.5 * len(arrays) + 1, 4))
+        ax.boxplot(arrays, labels=names)
+        ax.set_ylabel(metric)
+        fig.savefig(plot, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        log.info("wrote %s", plot)
+    return results
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("metric", choices=["ged", "ncc", "dice"])
+    p.add_argument("--files", nargs="+", required=True)
+    p.add_argument("--names", nargs="*", default=None)
+    p.add_argument("--plot", default=None)
+    a = p.parse_args(argv)
+    aggregate(a.metric, a.files, a.names, a.plot)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Quantitative uncertainty evaluation: GED^2 and S_NCC over the test set.
+
+Equivalent of `phiseg_test_quantitative.py` (ref :22-81): restore the
+`best_ged` checkpoint, draw N prior samples per test image, compute GED^2
+against all annotators and S_NCC, save per-image arrays as
+ged{N}_{tag}.npz / ncc{N}_{tag}.npz in the log dir (same file-name contract,
+ref :80-81).
+
+TPU-native: sampling is vmapped over draws with the encoder cache computed
+once per image batch; GED's pairwise IoU runs as MXU matmuls on device. The
+reference looped 50 sess.runs + O((50+4)^2) host IoU pairs per image.
+
+Usage:
+  python -m phiseg_tpu.cli.test_quantitative <log_dir> [--samples 50]
+      [--tag best_ged] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
+             batch: int = 8, max_images: int | None = None):
+    from phiseg_tpu.data import get_dataset
+    from phiseg_tpu.engine.loading import load_experiment
+    from phiseg_tpu.engine.validation import make_validation_fn
+
+    cfg, model, state, step = load_experiment(log_dir, tag)
+    log.info("restored %s @ step %d", tag, step)
+    data = get_dataset(cfg)
+
+    # reuse the jitted validation program with the eval sample count
+    vfn = make_validation_fn(model, cfg.replace(validation_samples=num_samples))
+    variables = state.variables
+
+    images = data.test.images
+    labels = data.test.labels
+    n = images.shape[0] if max_images is None else min(max_images, images.shape[0])
+    rng = jax.random.PRNGKey(cfg.seed + 99)
+
+    ged_list, ncc_list = [], []
+    t0 = time.time()
+    for b0 in range(0, n, batch):
+        b1 = min(b0 + batch, n)
+        x = np.asarray(images[b0:b1]).astype(np.float32)[..., None]
+        ann = np.transpose(np.asarray(labels[b0:b1]).astype(np.int32), (0, 3, 1, 2))
+        s_sel = ann[:, 0]  # dice output unused here
+        _, g, nc, _ = vfn(variables, jnp.asarray(x), jnp.asarray(ann),
+                          jnp.asarray(s_sel), jax.random.fold_in(rng, b0))
+        ged_list.extend(np.asarray(g).tolist())
+        ncc_list.extend(np.asarray(nc).tolist())
+        log.info("%d/%d images (%.2f s/img)", b1, n, (time.time() - t0) / b1)
+
+    ged_arr = np.asarray(ged_list)
+    ncc_arr = np.asarray(ncc_list)
+    log.info("-- GED: %.4f +- %.4f", ged_arr.mean(), ged_arr.std())
+    log.info("-- NCC: %.4f +- %.4f", ncc_arr.mean(), ncc_arr.std())
+
+    # same artefact names as the reference (:80-81)
+    np.savez(os.path.join(log_dir, f"ged{num_samples}_{tag}.npz"), ged_arr)
+    np.savez(os.path.join(log_dir, f"ncc{num_samples}_{tag}.npz"), ncc_arr)
+    return ged_arr, ncc_arr
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("log_dir")
+    p.add_argument("--samples", type=int, default=50)
+    p.add_argument("--tag", default="best_ged")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max-images", type=int, default=None)
+    a = p.parse_args(argv)
+    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images)
+
+
+if __name__ == "__main__":
+    main()

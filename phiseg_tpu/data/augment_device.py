@@ -1,0 +1,128 @@
+"""On-device data augmentation (runs inside the jitted train step).
+
+TPU-first re-design of the reference's host-side cv2 augmentation pipeline
+(data/batch_provider.py:140-271: rotation, scale-crop, 3x3 coarse elastic
+deformation, flips, every-nth gating). The reference resampled the image
+once per transform on the host CPU; here all transforms compose into ONE
+backward coordinate map per image and a single bilinear gather, vectorised
+over the batch with vmap and fused into the training program by XLA. Labels
+are warped as one-hot and argmax'd, matching the reference's
+rotate/resize/warp_as_onehot treatment (utils.py:24-67).
+
+Gating matches the reference distributions:
+  * geometric transforms fire together with prob 1/augment_every_nth
+    (batch_provider.py:193-194)
+  * each flip independently with prob 1/max(2, augment_every_nth)
+    (batch_provider.py:252-264)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(img: jax.Array, ys: jax.Array, xs: jax.Array,
+                     fill: float = 0.0) -> jax.Array:
+    """Sample img (H,W,C) at float coords ys/xs (H,W); constant fill outside."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+
+    g = lambda yi, xi: img[yi, xi]  # advanced-index gather -> XLA gather
+    out = (
+        g(y0i, x0i) * (1 - wy) * (1 - wx)
+        + g(y0i, x1i) * (1 - wy) * wx
+        + g(y1i, x0i) * wy * (1 - wx)
+        + g(y1i, x1i) * wy * wx
+    )
+    valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    return jnp.where(valid[..., None], out, fill)
+
+
+def _augment_one(x: jax.Array, s_oh: jax.Array, rng: jax.Array,
+                 opts: Mapping[str, Any]) -> Tuple[jax.Array, jax.Array]:
+    """Augment one (H,W,C) image + (H,W,L) one-hot label with a single warp."""
+    h, w = x.shape[0], x.shape[1]
+    every_nth = int(opts.get("augment_every_nth", 2))
+    k_coin, k_rot, k_r, k_px, k_py, k_el, k_flr, k_fud = jax.random.split(rng, 8)
+
+    do_geom = (jax.random.randint(k_coin, (), 0, every_nth) == 0).astype(jnp.float32)
+
+    # output pixel grid
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+
+    # flips (self-inverse; applied last forward -> inverted first)
+    flip_p = 1.0 / max(2, every_nth)
+    if opts.get("do_fliplr", False):
+        flr = jax.random.bernoulli(k_flr, flip_p)
+        xx = jnp.where(flr, (w - 1) - xx, xx)
+    if opts.get("do_flipud", False):
+        fud = jax.random.bernoulli(k_fud, flip_p)
+        yy = jnp.where(fud, (h - 1) - yy, yy)
+
+    # elastic: 3x3 coarse N(0, sigma) field, bicubic upsampled
+    # (batch_provider.py:227-248); remap convention out(p) = in(p + d(p)).
+    if opts.get("do_elasticaug", False):
+        sigma = 10.0
+        d = sigma * jax.random.normal(k_el, (2, 3, 3), jnp.float32) * do_geom
+        d_full = jax.image.resize(d.transpose(1, 2, 0), (h, w, 2), method="bicubic")
+        xx = xx + d_full[..., 0]
+        yy = yy + d_full[..., 1]
+
+    # scale-crop: square side r from [H-offset, H], random origin; resize back
+    # (batch_provider.py:211-224). Backward: src = origin + dst * r / H.
+    if opts.get("do_scaleaug", False):
+        offset = float(opts.get("offset", 30))
+        r = jax.random.randint(k_r, (), h - int(offset), h + 1).astype(jnp.float32)
+        r = do_geom * r + (1.0 - do_geom) * h
+        px = jnp.floor(jax.random.uniform(k_px) * (w - r + 1.0))
+        py = jnp.floor(jax.random.uniform(k_py) * (h - r + 1.0))
+        xx = px + xx * (r / w)
+        yy = py + yy * (r / h)
+
+    # rotation about the image centre (batch_provider.py:197-208)
+    if opts.get("do_rotations", False):
+        degrees = float(opts.get("rot_degrees", 10.0))
+        ang = jnp.deg2rad(jax.random.uniform(k_rot, (), minval=-degrees, maxval=degrees))
+        ang = ang * do_geom
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        dxc, dyc = xx - cx, yy - cy
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        xx = cx + cos * dxc - sin * dyc
+        yy = cy + sin * dxc + cos * dyc
+
+    x_out = _bilinear_gather(x, yy, xx, fill=0.0)
+    s_out = _bilinear_gather(s_oh, yy, xx, fill=0.0)
+    return x_out, s_out
+
+
+def make_augment_fn(opts: Mapping[str, Any], nlabels: int):
+    """Build a jittable batch augmentation fn(x, s, rng) -> (x, s).
+
+    x: (B,H,W,C) float; s: (B,H,W) int. One-hot fill outside the warp is all
+    zeros which argmaxes to background label 0 (same effective border
+    behaviour as cv2's zero borderValue in the reference).
+    """
+    from phiseg_tpu.data.batch_provider import canonicalise_aug_options
+
+    opts = canonicalise_aug_options(opts)
+
+    def augment(x: jax.Array, s: jax.Array, rng: jax.Array):
+        s_oh = jax.nn.one_hot(s, nlabels, dtype=jnp.float32)
+        keys = jax.random.split(rng, x.shape[0])
+        fn = functools.partial(_augment_one, opts=opts)
+        x_out, s_oh_out = jax.vmap(fn)(x, s_oh, keys)
+        return x_out, jnp.argmax(s_oh_out, axis=-1).astype(s.dtype)
+
+    return augment

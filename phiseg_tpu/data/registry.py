@@ -1,0 +1,22 @@
+"""Dataset registry (ref data/data_switch.py:2-12)."""
+
+from __future__ import annotations
+
+from phiseg_tpu.engine.config import ExperimentConfig, data_root, preproc_root
+
+
+def get_dataset(cfg: ExperimentConfig, host_augment: bool = False, seed: int = 0,
+                **kwargs):
+    """Name -> dataset object with .train/.validation/.test providers."""
+    if cfg.data_identifier == "lidc":
+        from phiseg_tpu.data.lidc import LIDCData
+
+        return LIDCData(cfg, data_root(), preproc_root(),
+                        host_augment=host_augment, seed=seed)
+    if cfg.data_identifier == "synthetic":
+        from phiseg_tpu.data.synthetic import SyntheticData
+
+        return SyntheticData(cfg, host_augment=host_augment, seed=seed, **kwargs)
+    raise ValueError(
+        f"unknown data identifier: {cfg.data_identifier!r} (known: lidc, synthetic)"
+    )

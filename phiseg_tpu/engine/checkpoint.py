@@ -1,0 +1,115 @@
+"""Multi-criterion checkpoint manager.
+
+Equivalent of the reference's five tf.train.Savers
+(phiseg/phiseg_model.py:143-148: rolling latest + best val-loss / Dice / GED
+/ NCC, saved on metric improvement :638-660, selected by tag string at load
+:505-525) and the auto-resume scan (_setup_log_dir_and_continue_mode
+:821-848, tfwrapper/utils.py:189-210).
+
+Checkpoints are flax msgpack serialisations of the full TrainState (params,
+batch stats, optimiser state, step), written atomically (tmp + rename) so a
+preempted TPU job never leaves a torn file. Tags mirror the reference file
+names: latest -> model.ckpt, best_dice -> model_best_dice.ckpt, etc.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Optional
+
+import jax
+from flax import serialization
+
+TAGS = ("latest", "best_loss", "best_dice", "best_ged", "best_ncc")
+
+_TAG_PREFIX = {
+    "latest": "model.ckpt",
+    "best_loss": "model_best_loss.ckpt",
+    "best_dice": "model_best_dice.ckpt",
+    "best_ged": "model_best_ged.ckpt",
+    "best_ncc": "model_best_ncc.ckpt",
+}
+
+
+class CheckpointManager:
+    def __init__(self, log_dir: str, keep: int = 2, keep_latest: int = 1):
+        self.log_dir = log_dir
+        self.keep = keep
+        self.keep_latest = keep_latest
+        os.makedirs(log_dir, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+
+    def _path(self, tag: str, step: int) -> str:
+        return os.path.join(self.log_dir, f"{_TAG_PREFIX[tag]}-{step}.msgpack")
+
+    def _list_steps(self, tag: str):
+        prefix = _TAG_PREFIX[tag]
+        pat = re.compile(re.escape(prefix) + r"-(\d+)\.msgpack$")
+        steps = []
+        for p in glob.glob(os.path.join(self.log_dir, f"{prefix}-*.msgpack")):
+            m = pat.search(os.path.basename(p))
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def latest_step(self, tag: str = "latest") -> Optional[int]:
+        """Highest saved step for a tag (ref get_latest_model_checkpoint_path)."""
+        steps = self._list_steps(tag)
+        return steps[-1] if steps else None
+
+    # -- save / restore --------------------------------------------------------
+
+    def save(self, state, tag: str = "latest", step: Optional[int] = None) -> str:
+        if tag not in TAGS:
+            raise ValueError(f"unknown checkpoint tag: {tag!r} (known: {TAGS})")
+        if step is None:
+            step = int(jax.device_get(state.step))
+        path = self._path(tag, step)
+        data = serialization.to_bytes(state)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish
+
+        keep = self.keep_latest if tag == "latest" else self.keep
+        for old in self._list_steps(tag)[:-keep]:
+            try:
+                os.remove(self._path(tag, old))
+            except OSError:
+                pass
+        return path
+
+    def restore(self, template_state, tag: str = "latest",
+                step: Optional[int] = None):
+        """Restore into the structure of template_state. Returns (state, step)."""
+        if tag not in TAGS:
+            raise ValueError(f"unknown checkpoint tag: {tag!r} (known: {TAGS})")
+        if step is None:
+            step = self.latest_step(tag)
+            if step is None:
+                raise FileNotFoundError(
+                    f"no '{tag}' checkpoint in {self.log_dir}"
+                )
+        path = self._path(tag, step)
+        with open(path, "rb") as f:
+            state = serialization.from_bytes(template_state, f.read())
+        return state, step
+
+    def has_checkpoint(self, tag: str = "latest") -> bool:
+        return self.latest_step(tag) is not None
+
+
+def write_metrics_jsonl(path: str, step: int, metrics: dict) -> None:
+    """Append one structured metrics record (observability sidecar)."""
+    rec = {"step": int(step)}
+    for k, v in metrics.items():
+        try:
+            rec[k] = float(v)
+        except (TypeError, ValueError):
+            rec[k] = v
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")

@@ -93,6 +93,9 @@ class ExperimentConfig:
     tensorboard_update_frequency: int = 100
 
     # -- framework extras (no reference equivalent)
+    # None = auto: use the fused Pallas multi-scale CE kernel on TPU,
+    # plain XLA elsewhere. True/False forces.
+    use_fused_loss_kernel: Optional[bool] = None
     seed: int = 42
     checkpoint_keep: int = 2
     mesh_data_axis: Optional[int] = None  # None -> all local devices

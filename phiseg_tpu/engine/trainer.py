@@ -1,0 +1,287 @@
+"""The training loop: steps, monitoring, validation, checkpoints, resume.
+
+Equivalent of the reference engine's session loop (phiseg/phiseg_model.py:
+166-207 train, :530-701 validation with multi-criterion best checkpoints,
+:821-848 auto-resume). TPU-native differences:
+
+  * the train step is one jitted XLA program (fwd+bwd+optimiser+BN stats),
+    with optional on-device augmentation fused in;
+  * data loading is overlapped with device compute via a background
+    prefetch thread;
+  * validation sampling and GED/NCC/Dice run on device (vmapped), not in
+    host Python loops;
+  * checkpoints are atomic msgpack files with the same five tags;
+  * monitoring goes to a dependency-free TensorBoard event file + JSONL.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phiseg_tpu.engine.checkpoint import CheckpointManager, write_metrics_jsonl
+from phiseg_tpu.engine.config import ExperimentConfig, log_root
+from phiseg_tpu.engine.train import (
+    build_model,
+    create_train_state,
+    make_eval_loss_fn,
+    make_optimizer,
+    make_train_step,
+)
+from phiseg_tpu.engine.validation import make_validation_fn
+from phiseg_tpu.utils.tb_writer import SummaryWriter
+
+log = logging.getLogger(__name__)
+
+
+class _Prefetcher:
+    """Background thread pulling host batches ahead of the device."""
+
+    def __init__(self, provider, batch_size: int, depth: int = 2):
+        self.provider = provider
+        self.batch_size = batch_size
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.t = threading.Thread(target=self._run, daemon=True)
+        self.t.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self.provider.next_batch(self.batch_size)
+            while not self._stop.is_set():
+                try:
+                    self.q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def next(self):
+        return self.q.get()
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        log_dir: Optional[str] = None,
+        mesh=None,
+        resume: bool = True,
+    ):
+        from phiseg_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        self.cfg = cfg
+        self.log_dir = log_dir or os.path.join(
+            log_root(), cfg.log_dir_name, cfg.experiment_name
+        )
+        os.makedirs(self.log_dir, exist_ok=True)
+        # Config snapshot for provenance; eval CLIs reload this
+        # (ref phiseg_train.py:44-47, phiseg_test_quantitative.py:94-97).
+        cfg.save(os.path.join(self.log_dir, "config.json"))
+
+        self.model = build_model(cfg)
+        self.tx = make_optimizer(cfg)
+        self.mesh = mesh
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.state = create_train_state(self.model, cfg, rng, self.tx)
+        self.ckpt = CheckpointManager(self.log_dir, keep=cfg.checkpoint_keep)
+        self.init_step = 0
+        if resume and self.ckpt.has_checkpoint("latest"):
+            self.state, _ = self.ckpt.restore(self.state, "latest")
+            # Resume from the state's own counter (the filename is a label).
+            self.init_step = int(jax.device_get(self.state.step))
+            log.info("resuming from step %d", self.init_step)
+
+        augment_fn = None
+        if cfg.augment_on_device and cfg.augmentation_options:
+            from phiseg_tpu.data.augment_device import make_augment_fn
+
+            augment_fn = make_augment_fn(cfg.augmentation_options, cfg.nlabels)
+
+        use_fused = cfg.use_fused_loss_kernel
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        self.train_step = make_train_step(
+            self.model, cfg, self.tx, augment_fn=augment_fn, use_fused_ce=use_fused
+        )
+        self.eval_loss = make_eval_loss_fn(self.model, cfg)
+        self.validate_fn = make_validation_fn(self.model, cfg)
+        if mesh is not None:
+            from phiseg_tpu.parallel import shard_train_step
+
+            self.train_step, self.state = shard_train_step(
+                self.train_step, self.state, mesh
+            )
+
+        self.writer = SummaryWriter(self.log_dir)
+        self.metrics_path = os.path.join(self.log_dir, "metrics.jsonl")
+
+        self.best = {"dice": -1.0, "loss": np.inf, "ged": np.inf, "ncc": -1.0}
+
+    # ------------------------------------------------------------------
+
+    def _shard_batch(self, x, s):
+        if self.mesh is None:
+            return jnp.asarray(x), jnp.asarray(s)
+        from phiseg_tpu.parallel import shard_array
+
+        return shard_array(x, self.mesh), shard_array(s, self.mesh)
+
+    def train(self, data, num_iter: Optional[int] = None):
+        cfg = self.cfg
+        num_iter = num_iter if num_iter is not None else cfg.num_iter
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        prefetch = _Prefetcher(data.train, cfg.batch_size)
+        step_times = []
+        try:
+            t_last = time.perf_counter()
+            for step in range(self.init_step, num_iter):
+                x, s = prefetch.next()
+                x, s = self._shard_batch(x, s)
+                self.state, loss_dict = self.train_step(
+                    self.state, x, s, jax.random.fold_in(rng, step)
+                )
+
+                if step % cfg.tensorboard_update_frequency == 0:
+                    loss_dict = jax.device_get(loss_dict)
+                    now = time.perf_counter()
+                    dt = now - t_last
+                    t_last = now
+                    ips = (
+                        cfg.batch_size * cfg.tensorboard_update_frequency / dt
+                        if step > self.init_step
+                        else 0.0
+                    )
+                    scalars = {f"batch_{k}": float(v) for k, v in loss_dict.items()}
+                    scalars["images_per_sec"] = ips
+                    self.writer.scalars(scalars, step)
+                    self.writer.flush()
+                    write_metrics_jsonl(self.metrics_path, step, scalars)
+                    log.info(
+                        "step %d: loss %.4f (%.1f img/s)",
+                        step, float(loss_dict["total_loss"]), ips,
+                    )
+
+                if step % cfg.validation_frequency == 0 and step > self.init_step:
+                    self.do_validation(data, step)
+        finally:
+            prefetch.stop()
+        return self.state
+
+    # ------------------------------------------------------------------
+
+    def do_validation(self, data, step: int, val_batch: int = 8):
+        """Full validation pass (ref _do_validation :530-701)."""
+        cfg = self.cfg
+        t0 = time.time()
+        self.ckpt.save(self.state, "latest")  # filename label = state.step
+
+        rng = jax.random.PRNGKey(cfg.seed + 2 + step)
+        variables = self.state.variables
+
+        # batch losses on one val + one train batch, eval mode (ref :537-549)
+        vx, vs = data.validation.next_batch(cfg.batch_size)
+        val_losses = jax.device_get(self.eval_loss(variables, jnp.asarray(vx), jnp.asarray(vs), rng))
+        tx_, ts_ = data.train.next_batch(cfg.batch_size)
+        train_losses = jax.device_get(self.eval_loss(variables, jnp.asarray(tx_), jnp.asarray(ts_), rng))
+
+        # full metric pass over num_validation_images (ref :567-628)
+        n_images = data.validation.images.shape[0]
+        if cfg.num_validation_images != "all":
+            n_images = min(n_images, int(cfg.num_validation_images))
+
+        host_rng = np.random.RandomState(cfg.seed + step)
+        dices, geds, nccs, elbos = [], [], [], []
+        for b0 in range(0, n_images, val_batch):
+            b1 = min(b0 + val_batch, n_images)
+            x = np.asarray(data.validation.images[b0:b1]).astype(np.float32)[..., None]
+            ann = np.asarray(data.validation.labels[b0:b1]).astype(np.int32)  # (B,H,W,M)
+            ann = np.transpose(ann, (0, 3, 1, 2))  # (B,M,H,W)
+            # random annotator per image (ref :575)
+            picks = host_rng.choice(list(cfg.annotator_range), size=b1 - b0)
+            s_sel = np.stack([ann[i, a] for i, a in enumerate(picks)], axis=0)
+            d, g, nc, e = self.validate_fn(
+                variables, jnp.asarray(x), jnp.asarray(ann), jnp.asarray(s_sel),
+                jax.random.fold_in(rng, b0),
+            )
+            dices.append(np.asarray(d))
+            geds.append(np.asarray(g))
+            nccs.append(np.asarray(nc))
+            elbos.append(float(e))
+
+        dice_arr = np.concatenate(dices, 0)  # (N, nlabels)
+        per_structure_dice = dice_arr.mean(0)
+        mean_dice = float(per_structure_dice.mean())
+        avg_ged = float(np.concatenate(geds).mean())
+        avg_ncc = float(np.concatenate(nccs).mean())
+        avg_elbo = float(np.mean(elbos))
+
+        log.info(
+            "VALIDATION step %d (%d images): dice %.4f | -ELBO %.4f | GED %.4f | NCC %.4f (%.1fs)",
+            step, n_images, mean_dice, avg_elbo, avg_ged, avg_ncc, time.time() - t0,
+        )
+
+        # multi-criterion best checkpoints (ref :638-660)
+        if mean_dice >= self.best["dice"]:
+            self.best["dice"] = mean_dice
+            self.ckpt.save(self.state, "best_dice")
+        if avg_elbo <= self.best["loss"]:
+            self.best["loss"] = avg_elbo
+            self.ckpt.save(self.state, "best_loss")
+        if avg_ged <= self.best["ged"]:
+            self.best["ged"] = avg_ged
+            self.ckpt.save(self.state, "best_ged")
+        if avg_ncc >= self.best["ncc"]:
+            self.best["ncc"] = avg_ncc
+            self.ckpt.save(self.state, "best_ncc")
+
+        scalars = {
+            "validation_dice_mean_score": mean_dice,
+            "validation_dice_tot_score": float(dice_arr.mean()),
+            "validation_neg_elbo": avg_elbo,
+            "validation_GED": avg_ged,
+            "validation_NCC": avg_ncc,
+        }
+        for i in range(cfg.nlabels):
+            scalars[f"validation_dice_lbl_{i}"] = float(per_structure_dice[i])
+        for k, v in val_losses.items():
+            scalars[f"val_batch_{k}"] = float(v)
+        for k, v in train_losses.items():
+            scalars[f"train_batch_{k}"] = float(v)
+        self.writer.scalars(scalars, step)
+
+        # image summaries (ref _make_tensorboard_summaries :728-776)
+        if cfg.do_image_summaries:
+            from phiseg_tpu.engine.train import make_sample_fn
+            from phiseg_tpu.utils.image_grid import batch_to_grid
+
+            if not hasattr(self, "_img_sampler"):
+                self._img_sampler = make_sample_fn(self.model, 1)
+            probs = self._img_sampler(variables, jnp.asarray(vx), rng)
+            gen_seg = np.asarray(jnp.argmax(probs[0], axis=-1))
+            self.writer.image("val_x_inp", batch_to_grid(np.asarray(vx), "standardize"), step)
+            self.writer.image("val_s_inp",
+                              batch_to_grid(np.asarray(vs), "labelmap", cfg.nlabels), step)
+            self.writer.image("generated_seg",
+                              batch_to_grid(gen_seg, "labelmap", cfg.nlabels), step)
+
+        self.writer.flush()
+        write_metrics_jsonl(self.metrics_path, step, scalars)
+        return scalars

@@ -1,0 +1,76 @@
+"""Jitted validation: N-sample draws + on-device Dice / GED^2 / S_NCC.
+
+Equivalent of the reference validation pass (phiseg/phiseg_model.py:530-701),
+which looped 100 images x 16 tiled samples through sess.run and computed
+GED/NCC in Python on the host (the self-logged bottleneck, :636). Here the
+whole thing is one jitted program per image-batch: vmapped sampling (encoder
+runs once per image), argmax, and vectorised pairwise-IoU metrics on device.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from phiseg_tpu.engine.config import ExperimentConfig
+from phiseg_tpu.engine.objective import phiseg_objective
+from phiseg_tpu.metrics import (
+    dice_per_label,
+    generalised_energy_distance,
+    variance_ncc_dist,
+)
+from phiseg_tpu.models.segvae import SegVAE, aggregate_levels
+from phiseg_tpu.nn.losses import one_hot
+
+
+def make_validation_fn(model: SegVAE, cfg: ExperimentConfig):
+    """Returns jitted fn(variables, x, s_annotators, s_selected, rng) ->
+    (dice (B, nlabels), ged (B,), sncc (B,), elbo scalar).
+
+    x: (B,H,W,C) images; s_annotators: (B,M,H,W) all GT annotations;
+    s_selected: (B,H,W) the randomly-chosen annotation (for Dice and the
+    ELBO term, matching ref :575, :600-613).
+    """
+    num_samples = cfg.validation_samples
+    nlabels = cfg.nlabels
+    label_range = tuple(range(1, nlabels))
+
+    @jax.jit
+    def validate(variables, x, s_annotators, s_selected, rng):
+        cache = model.apply(variables, x, method="sample_cache")
+        keys = jax.random.split(rng, num_samples)
+
+        def draw(k):
+            return jax.nn.softmax(
+                aggregate_levels(model.apply(variables, cache, k, method="decode_sample")),
+                axis=-1,
+            )
+
+        probs = jax.vmap(draw)(keys)  # (S,B,H,W,C)
+        probs_b = jnp.moveaxis(probs, 0, 1)  # (B,S,H,W,C)
+        masks_b = jnp.argmax(probs_b, axis=-1)  # (B,S,H,W)
+
+        # mean-softmax argmax prediction (ref :587, :600)
+        pred = jnp.argmax(jnp.mean(probs, axis=0), axis=-1)  # (B,H,W)
+        dice_b = dice_per_label(pred, s_selected, nlabels)  # (B,nlabels)
+
+        ged_b = jax.vmap(
+            lambda sm, gt: generalised_energy_distance(
+                sm, gt, nlabels=nlabels - 1, label_range=label_range
+            )
+        )(masks_b, s_annotators)
+
+        gt_oh = one_hot(s_annotators, nlabels)  # (B,M,H,W,C)
+        sncc_b = jax.vmap(variance_ncc_dist)(probs_b, gt_oh)
+
+        # per-batch eval-mode ELBO (ref tiles one image 16x and runs loss_tot
+        # :577-585; here: one posterior draw per image, same expectation)
+        s_oh = one_hot(s_selected, nlabels)
+        outputs = model.apply(variables, x, s_oh, rng, train=False)
+        elbo, _ = phiseg_objective(outputs, s_oh, cfg, params=variables["params"])
+
+        return dice_b, ged_b, sncc_b, elbo
+
+    return validate

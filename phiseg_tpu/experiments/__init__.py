@@ -1,0 +1,94 @@
+"""Named experiment registry.
+
+One entry per reference experiment module (phiseg/experiments/*.py):
+  phiseg_7_5         -- full hierarchy, R=7, L=5, zdim 2   (phiseg_7_5.py)
+  phiseg_7_1         -- R=7, L=1                            (phiseg_7_1.py)
+  probunet           -- prob U-Net, global zdim 6           (probunet.py)
+  detunet            -- deterministic U-Net, annotator 0,
+                        no KL, log dir 'lidc2'              (detunet.py)
+  *_1annot           -- single-annotator variants (annotator_range=[0])
+
+plus `*_synth` variants of each that swap LIDC for the in-memory synthetic
+dataset (no reference equivalent; used by tests/bench and for running
+without the LIDC download).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from phiseg_tpu.engine.config import ExperimentConfig
+
+
+def _base(**kw) -> ExperimentConfig:
+    return ExperimentConfig(**kw)
+
+
+_REGISTRY: Dict[str, ExperimentConfig] = {}
+
+
+def _register(cfg: ExperimentConfig) -> ExperimentConfig:
+    _REGISTRY[cfg.experiment_name] = cfg
+    # synthetic-data twin
+    synth = cfg.replace(
+        experiment_name=cfg.experiment_name + "_synth",
+        data_identifier="synthetic",
+        log_dir_name=cfg.log_dir_name + "_synth",
+    )
+    _REGISTRY[synth.experiment_name] = synth
+    return cfg
+
+
+phiseg_7_5 = _register(_base(
+    experiment_name="phiseg_7_5",
+    model_family="phiseg",
+    latent_levels=5,
+    resolution_levels=7,
+    zdim0=2,
+))
+
+phiseg_7_1 = _register(phiseg_7_5.replace(
+    experiment_name="phiseg_7_1",
+    latent_levels=1,
+))
+
+probunet = _register(_base(
+    experiment_name="probunet",
+    model_family="prob_unet",
+    latent_levels=1,
+    resolution_levels=7,
+    zdim0=6,
+))
+
+detunet = _register(_base(
+    experiment_name="detunet",
+    log_dir_name="lidc2",
+    model_family="det_unet",
+    latent_levels=1,
+    resolution_levels=7,
+    zdim0=6,
+    annotator_range=(0,),
+    kl_divergence_loss_weight=None,
+))
+
+phiseg_7_5_1annot = _register(phiseg_7_5.replace(
+    experiment_name="phiseg_7_5_1annot", annotator_range=(0,),
+))
+phiseg_7_1_1annot = _register(phiseg_7_1.replace(
+    experiment_name="phiseg_7_1_1annot", annotator_range=(0,),
+))
+probunet_1annot = _register(probunet.replace(
+    experiment_name="probunet_1annot", annotator_range=(0,),
+))
+
+
+def get_experiment(name: str) -> ExperimentConfig:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown experiment {name!r}; known: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def list_experiments():
+    return sorted(_REGISTRY)

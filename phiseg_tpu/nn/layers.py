@@ -149,6 +149,113 @@ class ConvBlock(nn.Module):
         return x
 
 
+class TransposedConvBlock(nn.Module):
+    """Transposed (fractionally-strided) conv + norm + activation
+    (ref layers.py:197-323). 4x4 kernel, stride 2 by default."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (4, 4)
+    strides: Tuple[int, int] = (2, 2)
+    activation: ActivationFn = nn.relu
+    norm: str = "none"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        use_bias = self.norm != "batch"
+        x = nn.ConvTranspose(
+            features=self.features, kernel_size=self.kernel_size,
+            strides=self.strides, padding="SAME", use_bias=use_bias,
+            kernel_init=he_normal, dtype=self.dtype, name="conv_t",
+        )(x)
+        return _norm_act(self, x, train)
+
+
+class DilatedConvBlock(nn.Module):
+    """Atrous conv + norm + activation (ref layers.py:378-425)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    rate: int = 2
+    activation: ActivationFn = nn.relu
+    norm: str = "none"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        use_bias = self.norm != "batch"
+        x = nn.Conv(
+            features=self.features, kernel_size=self.kernel_size,
+            kernel_dilation=(self.rate, self.rate), padding="SAME",
+            use_bias=use_bias, kernel_init=he_normal, dtype=self.dtype,
+            name="conv_d",
+        )(x)
+        return _norm_act(self, x, train)
+
+
+class ResidualUnit(nn.Module):
+    """Pre-norm residual unit with optional downsampling / projection
+    (ref layers.py:428-536, He et al. 2015)."""
+
+    features: int
+    down_sample: bool = False
+    activation: ActivationFn = nn.relu
+    norm: str = "batch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        strides = (2, 2) if self.down_sample else (1, 1)
+        needs_proj = self.down_sample or x.shape[-1] != self.features
+        shortcut = x
+        if needs_proj:
+            shortcut = nn.Conv(self.features, (1, 1), strides=strides,
+                               kernel_init=he_normal, dtype=self.dtype,
+                               name="proj")(x)
+        y = ConvBlock(self.features, strides=strides, activation=self.activation,
+                      norm=self.norm, dtype=self.dtype, name="c1")(x, train=train)
+        y = ConvBlock(self.features, activation=None, norm=self.norm,
+                      dtype=self.dtype, name="c2")(y, train=train)
+        out = y + shortcut
+        return self.activation(out) if self.activation is not None else out
+
+
+class Conv3DBlock(nn.Module):
+    """3D conv + norm + activation, NDHWC (ref layers.py:148-194)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    activation: ActivationFn = nn.relu
+    norm: str = "none"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        use_bias = self.norm != "batch"
+        x = nn.Conv(
+            features=self.features, kernel_size=self.kernel_size,
+            strides=self.strides, padding="SAME", use_bias=use_bias,
+            kernel_init=he_normal, dtype=self.dtype, name="conv3d",
+        )(x)
+        return _norm_act(self, x, train)
+
+
+def _norm_act(mod, x: jax.Array, train: bool) -> jax.Array:
+    """Shared norm-then-activation tail for the conv block variants."""
+    if mod.norm == "batch":
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, name="bn")(x)
+    elif mod.norm == "group":
+        x = nn.GroupNorm(num_groups=max(2, x.shape[-1] // 16), epsilon=1e-5,
+                         name="gn")(x)
+    elif mod.norm != "none":
+        raise ValueError(f"unknown norm: {mod.norm!r}")
+    if mod.activation is not None:
+        x = mod.activation(x)
+    return x
+
+
 class Dense(nn.Module):
     """Dense layer (ref layers.py:539-582)."""
 
@@ -162,6 +269,23 @@ class Dense(nn.Module):
         if self.activation is not None:
             x = self.activation(x)
         return x
+
+
+def avg_pool_2x2x2(x: jax.Array) -> jax.Array:
+    """3D average pooling, NDHWC (ref layers.py avg/max pool3D)."""
+    return nn.avg_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2), padding="SAME")
+
+
+def max_pool_2x2x2(x: jax.Array) -> jax.Array:
+    return nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2), padding="SAME")
+
+
+def reshape_pool_2x2(x: jax.Array) -> jax.Array:
+    """Space-to-depth 'pooling' (ref layers.py:57-67)."""
+    return jnp.concatenate(
+        [x[:, 0::2, 0::2, :], x[:, 1::2, 0::2, :], x[:, 0::2, 1::2, :], x[:, 1::2, 1::2, :]],
+        axis=3,
+    )
 
 
 def crop_and_concat(tensors: Sequence[jax.Array], axis: int = -1) -> jax.Array:

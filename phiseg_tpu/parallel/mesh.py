@@ -1,0 +1,91 @@
+"""Device-mesh data parallelism.
+
+The reference has NO distributed training (one tf.Session, one GPU,
+phiseg/phiseg_model.py:150-157; SURVEY.md section 5). The TPU-native scaling
+strategy, sized for this model family (~10M params, dense 2D convs):
+
+  * 1-D `data` mesh: batch axis sharded across chips, parameters replicated.
+    The train step is written as plain jnp on global arrays; GSPMD partitions
+    it and inserts the gradient all-reduce (psum) over ICI automatically.
+  * BatchNorm becomes sync-BN for free: the batch-stat means are global-array
+    reductions, so XLA lowers them to cross-replica collectives.
+  * Inference scales along the SAMPLE axis: the N prior draws of one image
+    batch are sharded across chips (each chip decodes its share of samples
+    from the replicated encoder cache).
+
+Multi-host entry would add jax.distributed.initialize + per-process batch
+slices via jax.make_array_from_process_local_data; single-controller usage
+is what the driver exercises.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split across the data axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_array(x, mesh: Mesh):
+    """Place a host batch with its leading axis sharded across the mesh."""
+    return jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+
+
+def shard_train_step(train_step, state, mesh: Mesh):
+    """Prepare (train_step, state) for data-parallel execution.
+
+    Parameters/optimizer state are placed replicated; batches arrive sharded
+    (shard_array). The jitted step is unchanged -- GSPMD propagates the
+    shardings and inserts ICI collectives for the gradient reduction and the
+    sync-BN statistics.
+    """
+    state = jax.device_put(state, replicated_sharding(mesh))
+    return train_step, state
+
+
+def make_sharded_sample_fn(model, num_samples: int, mesh: Mesh):
+    """N-sample inference with the SAMPLE axis sharded across the mesh.
+
+    Each chip holds the full (replicated) encoder cache and decodes
+    num_samples / n_devices draws; results gather into one (S,B,H,W,C) array.
+    This is how 100-sample GED/NCC eval hits <x ms/image on a v5e-8 slice.
+    """
+    from phiseg_tpu.models.segvae import aggregate_levels
+
+    axis = mesh.axis_names[0]
+    key_sharding = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def sample(variables, x, rng):
+        cache = model.apply(variables, x, method="sample_cache")
+
+        def draw(k):
+            logits = aggregate_levels(
+                model.apply(variables, cache, k, method="decode_sample")
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        keys = jax.random.split(rng, num_samples)
+        keys = jax.lax.with_sharding_constraint(keys, key_sharding)
+        return jax.vmap(draw)(keys)
+
+    return sample

@@ -1,0 +1,23 @@
+"""Test config: force an 8-device CPU mesh so sharding tests run anywhere.
+
+The container's sitecustomize registers the axon TPU backend in every
+process; tests override to CPU (fast compiles, deterministic) and request 8
+virtual devices to exercise multi-chip sharding without hardware.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,93 @@
+"""Checkpoint manager tests: tags, retention, resume, atomicity."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phiseg_tpu.engine import ExperimentConfig, build_model, create_train_state
+from phiseg_tpu.engine.checkpoint import CheckpointManager, write_metrics_jsonl
+from phiseg_tpu.engine.train import make_optimizer
+
+
+@pytest.fixture
+def state_and_cfg():
+    cfg = ExperimentConfig(model_family="det_unet", kl_divergence_loss_weight=None,
+                           n0=2, resolution_levels=4, image_size=(16, 16, 1),
+                           compute_dtype="float32", norm="none")
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), tx)
+    return state, cfg, model, tx
+
+
+def test_save_restore_roundtrip(tmp_path, state_and_cfg):
+    state, cfg, model, tx = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(state, "latest", step=5)
+
+    template = create_train_state(model, cfg, jax.random.PRNGKey(42), tx)
+    restored, step = mgr.restore(template, "latest")
+    assert step == 5
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_all_tags(tmp_path, state_and_cfg):
+    state, *_ = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path))
+    for tag in ("latest", "best_loss", "best_dice", "best_ged", "best_ncc"):
+        mgr.save(state, tag, step=1)
+        assert mgr.has_checkpoint(tag)
+
+
+def test_retention_policy(tmp_path, state_and_cfg):
+    state, *_ = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path), keep=2)
+    for step in (1, 2, 3, 4):
+        mgr.save(state, "best_dice", step=step)
+    assert mgr._list_steps("best_dice") == [3, 4]
+    # latest keeps only 1 by default
+    for step in (1, 2, 3):
+        mgr.save(state, "latest", step=step)
+    assert mgr._list_steps("latest") == [3]
+
+
+def test_latest_step_and_missing(tmp_path, state_and_cfg):
+    state, cfg, model, tx = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path))
+    assert mgr.latest_step("latest") is None
+    with pytest.raises(FileNotFoundError):
+        mgr.restore(state, "latest")
+    mgr.save(state, "latest", step=7)
+    mgr.save(state, "latest", step=9)
+    assert mgr.latest_step("latest") == 9
+
+
+def test_bad_tag(tmp_path, state_and_cfg):
+    state, *_ = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path))
+    with pytest.raises(ValueError):
+        mgr.save(state, "best_bogus")
+    with pytest.raises(ValueError):
+        mgr.restore(state, "best_bogus")
+
+
+def test_no_tmp_leftovers(tmp_path, state_and_cfg):
+    state, *_ = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(state, "latest", step=1)
+    assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
+
+
+def test_metrics_jsonl(tmp_path):
+    import json
+
+    path = str(tmp_path / "m.jsonl")
+    write_metrics_jsonl(path, 1, {"loss": jnp.float32(2.5)})
+    write_metrics_jsonl(path, 2, {"loss": 1.5})
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0] == {"step": 1, "loss": 2.5}
+    assert lines[1]["step"] == 2

@@ -1,0 +1,113 @@
+"""CLI end-to-end tests: train -> quantitative eval -> dice eval -> viz -> plots."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from phiseg_tpu.engine.config import ExperimentConfig
+
+
+@pytest.fixture(scope="module")
+def trained_logdir(tmp_path_factory):
+    """Train a micro phiseg via the CLI once; reuse for all eval CLIs."""
+    tmp = tmp_path_factory.mktemp("cli")
+    os.environ["PHISEG_LOG_ROOT"] = str(tmp / "logs")
+    cfg = ExperimentConfig(
+        experiment_name="cli_test",
+        model_family="phiseg",
+        latent_levels=2,
+        resolution_levels=4,
+        n0=2,
+        zdim0=2,
+        image_size=(16, 16, 1),
+        compute_dtype="float32",
+        norm="none",
+        data_identifier="synthetic",
+        batch_size=4,
+        validation_frequency=8,
+        tensorboard_update_frequency=4,
+        num_validation_images=4,
+        validation_samples=3,
+        augment_on_device=False,
+    )
+    cfg_path = str(tmp / "cfg.json")
+    cfg.save(cfg_path)
+
+    from phiseg_tpu.cli.train import main as train_main
+
+    train_main([cfg_path, "--num-iter", "17"])
+    log_dir = os.path.join(str(tmp / "logs"), cfg.log_dir_name, cfg.experiment_name)
+    assert os.path.exists(os.path.join(log_dir, "config.json"))
+    return log_dir
+
+
+def test_train_cli_artifacts(trained_logdir):
+    assert glob.glob(os.path.join(trained_logdir, "model.ckpt-*.msgpack"))
+    assert glob.glob(os.path.join(trained_logdir, "model_best_dice.ckpt-*.msgpack"))
+    assert os.path.exists(os.path.join(trained_logdir, "metrics.jsonl"))
+
+
+def test_quantitative_cli(trained_logdir):
+    from phiseg_tpu.cli.test_quantitative import evaluate
+
+    ged, ncc = evaluate(trained_logdir, num_samples=4, tag="best_ged",
+                        batch=4, max_images=4)
+    assert ged.shape == (4,) and np.isfinite(ged).all()
+    assert ncc.shape == (4,)
+    assert os.path.exists(os.path.join(trained_logdir, "ged4_best_ged.npz"))
+    assert os.path.exists(os.path.join(trained_logdir, "ncc4_best_ged.npz"))
+
+
+def test_predictions_cli(trained_logdir):
+    from phiseg_tpu.cli.test_predictions import evaluate
+
+    dice = evaluate(trained_logdir, num_samples=4, tag="best_dice",
+                    batch=4, max_images=4)
+    assert dice.shape == (4, 2)
+    assert ((dice >= 0) & (dice <= 1)).all()
+    assert os.path.exists(os.path.join(trained_logdir, "dice_best_dice.npz"))
+
+
+def test_generate_samples_cli(trained_logdir):
+    from phiseg_tpu.cli.generate_samples import generate
+
+    out = generate(trained_logdir, num_samples=4, tag="best_ged", indices=[0])
+    assert glob.glob(os.path.join(out, "samples_img0_*.png"))
+
+
+def test_sample_construction_cli(trained_logdir):
+    from phiseg_tpu.cli.sample_construction import generate
+
+    out = generate(trained_logdir, tag="best_ged", indices=[0])
+    assert glob.glob(os.path.join(out, "construction_img0_*.png"))
+
+
+def test_makegif_cli(trained_logdir):
+    from phiseg_tpu.cli.makegif_samples import generate
+
+    out = generate(trained_logdir, num_samples=3, tag="best_ged", indices=[0])
+    gifs = glob.glob(os.path.join(out, "samples_img0_*.gif"))
+    assert gifs
+    with open(gifs[0], "rb") as f:
+        assert f.read(6) in (b"GIF87a", b"GIF89a")
+
+
+def test_eval_plots_cli(trained_logdir, tmp_path):
+    from phiseg_tpu.cli.eval_plots import aggregate
+
+    f = os.path.join(trained_logdir, "ged4_best_ged.npz")
+    res = aggregate("ged", [f, f], names=["a", "b"], plot=str(tmp_path / "box.png"))
+    assert "a vs b" in res["ttests"] or res["means"]["a"] == res["means"]["b"]
+    assert os.path.exists(tmp_path / "box.png")
+
+
+def test_train_cli_named_experiment_resolution():
+    from phiseg_tpu.cli.train import resolve_config
+
+    cfg = resolve_config("phiseg_7_5")
+    assert cfg.experiment_name == "phiseg_7_5"
+    with pytest.raises(KeyError):
+        resolve_config("not_an_experiment")

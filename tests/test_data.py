@@ -1,0 +1,165 @@
+"""Tests for batch providers, synthetic data and augmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phiseg_tpu.data.batch_provider import BatchProvider, canonicalise_aug_options
+from phiseg_tpu.data.synthetic import SyntheticData, make_synthetic_arrays
+from phiseg_tpu.data.augment_device import make_augment_fn
+from phiseg_tpu.data.registry import get_dataset
+from phiseg_tpu.engine.config import ExperimentConfig
+
+
+def small_cfg(**kw):
+    return ExperimentConfig(image_size=(32, 32, 1), **kw)
+
+
+def make_provider(n=20, annotators=4, seed=0, **kw):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, 8, 8).astype(np.float32)
+    y = rng.randint(0, 2, (n, 8, 8, annotators)).astype(np.uint8)
+    return BatchProvider(x, y, np.arange(n), num_labels_per_subject=annotators,
+                         seed=seed, **kw), x, y
+
+
+def test_epoch_exhaustive_sampling():
+    """Every index is used exactly once before any repeats (ref batch_provider.py:43-67)."""
+    bp, x, _ = make_provider(n=20)
+    seen = []
+    for _ in range(5):  # 5 batches x 4 = 20 = one epoch
+        xb, yb = bp.next_batch(4)
+        for row in xb[..., 0]:
+            idx = np.where((x == row).all(axis=(1, 2)))[0]
+            seen.append(int(idx[0]))
+    assert sorted(seen) == list(range(20))
+
+
+def test_batch_shapes_and_dtypes():
+    bp, _, _ = make_provider()
+    xb, yb = bp.next_batch(4)
+    assert xb.shape == (4, 8, 8, 1) and xb.dtype == np.float32
+    assert yb.shape == (4, 8, 8) and yb.dtype == np.int32
+
+
+def test_annotator_range_restriction():
+    """With annotator_range=[0], only annotator 0's masks come back
+    (ref phiseg_7_5_1annot.py:42)."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(10, 4, 4).astype(np.float32)
+    y = np.zeros((10, 4, 4, 4), np.uint8)
+    y[..., 0] = 1  # annotator 0 all-ones, others all-zero
+    bp = BatchProvider(x, y, np.arange(10), num_labels_per_subject=4,
+                       annotator_range=[0], seed=0)
+    _, yb = bp.next_batch(8)
+    assert (yb == 1).all()
+
+
+def test_iterate_batches_covers_all():
+    bp, _, _ = make_provider(n=10)
+    count = sum(xb.shape[0] for xb, _ in bp.iterate_batches(3, shuffle=False))
+    assert count == 10
+
+
+def test_aug_key_canonicalisation():
+    o = canonicalise_aug_options({"do_flip_lr": True, "do_flip_ud": False})
+    assert o["do_fliplr"] is True and o["do_flipud"] is False
+
+
+def test_synthetic_deterministic():
+    x1, y1 = make_synthetic_arrays(4, (32, 32), 4, seed=7)
+    x2, y2 = make_synthetic_arrays(4, (32, 32), 4, seed=7)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    x3, _ = make_synthetic_arrays(4, (32, 32), 4, seed=8)
+    assert not np.allclose(x1, x3)
+
+
+def test_synthetic_contract():
+    x, y = make_synthetic_arrays(6, (32, 32), 4, seed=0)
+    assert x.shape == (6, 32, 32) and x.dtype == np.float32
+    assert y.shape == (6, 32, 32, 4) and y.dtype == np.uint8
+    assert x.min() >= -0.5 and x.max() <= 0.5
+    assert set(np.unique(y)) <= {0, 1}
+    assert y.sum() > 0  # some lesions exist
+    # annotators disagree somewhere (inter-rater variability)
+    assert any((y[..., a] != y[..., b]).any() for a in range(4) for b in range(a + 1, 4))
+
+
+def test_dataset_registry():
+    cfg = small_cfg(data_identifier="synthetic")
+    d = get_dataset(cfg, n_train=8, n_val=4, n_test=4)
+    xb, yb = d.train.next_batch(2)
+    assert xb.shape == (2, 32, 32, 1)
+    assert d.validation.images.shape[0] == 4
+    with pytest.raises(ValueError):
+        get_dataset(small_cfg(data_identifier="bogus"))
+
+
+# --- on-device augmentation ---------------------------------------------------
+
+
+def test_augment_identity_when_all_off():
+    fn = make_augment_fn({}, nlabels=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 1).astype(np.float32))
+    s = jnp.asarray((np.random.RandomState(1).rand(2, 16, 16) > 0.5).astype(np.int32))
+    x2, s2 = jax.jit(fn)(x, s, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s))
+
+
+def test_augment_flips_are_exact():
+    """fliplr output must be exactly the image or its mirror, nothing else."""
+    fn = make_augment_fn({"do_fliplr": True}, nlabels=2)
+    x = jnp.asarray(np.arange(64, dtype=np.float32).reshape(1, 8, 8, 1))
+    s = jnp.asarray((np.arange(64).reshape(1, 8, 8) % 2).astype(np.int32))
+    flips = 0
+    for i in range(20):
+        x2, s2 = fn(x, s, jax.random.PRNGKey(i))
+        if np.allclose(np.asarray(x2), np.asarray(x)):
+            np.testing.assert_array_equal(np.asarray(s2), np.asarray(s))
+        else:
+            np.testing.assert_allclose(np.asarray(x2), np.asarray(x)[:, :, ::-1], atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(s2), np.asarray(s)[:, :, ::-1])
+            flips += 1
+    assert 0 < flips < 20  # ~50% flip rate
+
+
+def test_augment_geometric_valid_outputs():
+    opts = {"do_rotations": True, "do_scaleaug": True, "do_elasticaug": True,
+            "do_fliplr": True, "do_flipud": True, "augment_every_nth": 1}
+    fn = jax.jit(make_augment_fn(opts, nlabels=2))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 1).astype(np.float32))
+    s = jnp.asarray((rng.rand(4, 32, 32) > 0.5).astype(np.int32))
+    x2, s2 = fn(x, s, jax.random.PRNGKey(0))
+    assert x2.shape == x.shape and s2.shape == s.shape
+    assert np.isfinite(np.asarray(x2)).all()
+    assert set(np.unique(np.asarray(s2))) <= {0, 1}
+    # something actually changed
+    assert not np.allclose(np.asarray(x2), np.asarray(x))
+
+
+def test_augment_rotation_zero_degrees_is_identity():
+    fn = make_augment_fn({"do_rotations": True, "rot_degrees": 0.0,
+                          "augment_every_nth": 1}, nlabels=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 1).astype(np.float32))
+    s = jnp.zeros((1, 16, 16), jnp.int32)
+    x2, _ = fn(x, s, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+
+
+def test_host_augmentation_runs():
+    from phiseg_tpu.data.augment_host import augment_batch_host, HAVE_CV2
+
+    if not HAVE_CV2:
+        pytest.skip("cv2 unavailable")
+    rng = np.random.RandomState(0)
+    x = rng.rand(4, 32, 32).astype(np.float32)
+    y = (rng.rand(4, 32, 32) > 0.5).astype(np.uint8)
+    opts = {"do_rotations": True, "do_scaleaug": True, "do_fliplr": True,
+            "nlabels": 2, "augment_every_nth": 1}
+    x2, y2 = augment_batch_host(x, y, opts, rng)
+    assert x2.shape == x.shape and y2.shape == y.shape
+    assert set(np.unique(y2)) <= {0, 1}
