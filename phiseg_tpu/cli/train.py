@@ -30,6 +30,9 @@ def parse_args(argv=None):
                    help="number of devices for data-parallel training")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"])
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator from env, e.g. on a TPU pod slice)")
     return p.parse_args(argv)
 
 
@@ -46,6 +49,10 @@ def resolve_config(name_or_path: str):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     args = parse_args(argv)
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
     cfg = resolve_config(args.experiment)
     if args.data:
         cfg = cfg.replace(data_identifier=args.data)

@@ -149,18 +149,31 @@ class Trainer:
         num_iter = num_iter if num_iter is not None else cfg.num_iter
         rng = jax.random.PRNGKey(cfg.seed + 1)
         prefetch = _Prefetcher(data.train, cfg.batch_size)
-        step_times = []
+        from phiseg_tpu.utils.profiling import StepProfiler
+
+        profiler = StepProfiler()
         try:
             t_last = time.perf_counter()
             for step in range(self.init_step, num_iter):
+                profiler.maybe_start(step)
                 x, s = prefetch.next()
                 x, s = self._shard_batch(x, s)
                 self.state, loss_dict = self.train_step(
                     self.state, x, s, jax.random.fold_in(rng, step)
                 )
+                profiler.maybe_stop(step)
 
                 if step % cfg.tensorboard_update_frequency == 0:
                     loss_dict = jax.device_get(loss_dict)
+                    # numerical-failure detection (the reference had none;
+                    # this is the TPU analogue of a sanitizer, SURVEY.md §5)
+                    if not np.isfinite(loss_dict["total_loss"]):
+                        bad = [k for k, v in loss_dict.items() if not np.isfinite(v)]
+                        raise FloatingPointError(
+                            f"non-finite loss at step {step}: {bad}. Set "
+                            "JAX_DEBUG_NANS=1 to localise the op; last good "
+                            f"checkpoint is in {self.log_dir}."
+                        )
                     now = time.perf_counter()
                     dt = now - t_last
                     t_last = now

@@ -280,6 +280,16 @@ def max_pool_2x2x2(x: jax.Array) -> jax.Array:
     return nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2), padding="SAME")
 
 
+def pad_to_size(x: jax.Array, target_hw: Tuple[int, int]) -> jax.Array:
+    """Centre-pad NHWC spatially up to target size (ref layers.py:625-650)."""
+    h, w = x.shape[1], x.shape[2]
+    th, tw = target_hw
+    if th < h or tw < w:
+        raise ValueError(f"target {target_hw} smaller than input {(h, w)}")
+    ph, pw = th - h, tw - w
+    return jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)))
+
+
 def reshape_pool_2x2(x: jax.Array) -> jax.Array:
     """Space-to-depth 'pooling' (ref layers.py:57-67)."""
     return jnp.concatenate(

@@ -21,6 +21,11 @@ def enable_persistent_cache(path: str | None = None) -> str:
     import jax
 
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT
+    # CPU AOT cache entries are machine-feature-sensitive and can SIGILL when
+    # reloaded under different flags; the cache only pays off for the slow
+    # TPU remote compiles anyway.
+    if jax.default_backend() != "tpu":
+        return path
     if not _enabled:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
