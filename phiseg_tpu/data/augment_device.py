@@ -57,19 +57,12 @@ def _augment_one(x: jax.Array, s_oh: jax.Array, rng: jax.Array,
     k_coin, k_rot, k_r, k_px, k_py, k_el, k_flr, k_fud = jax.random.split(rng, 8)
 
     do_geom = (jax.random.randint(k_coin, (), 0, every_nth) == 0).astype(jnp.float32)
+    any_warp = any(opts.get(k, False)
+                   for k in ("do_rotations", "do_scaleaug", "do_elasticaug"))
 
     # output pixel grid
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-
-    # flips (self-inverse; applied last forward -> inverted first)
-    flip_p = 1.0 / max(2, every_nth)
-    if opts.get("do_fliplr", False):
-        flr = jax.random.bernoulli(k_flr, flip_p)
-        xx = jnp.where(flr, (w - 1) - xx, xx)
-    if opts.get("do_flipud", False):
-        fud = jax.random.bernoulli(k_fud, flip_p)
-        yy = jnp.where(fud, (h - 1) - yy, yy)
 
     # elastic: 3x3 coarse N(0, sigma) field, bicubic upsampled
     # (batch_provider.py:227-248); remap convention out(p) = in(p + d(p)).
@@ -102,8 +95,24 @@ def _augment_one(x: jax.Array, s_oh: jax.Array, rng: jax.Array,
         xx = cx + cos * dxc - sin * dyc
         yy = cy + sin * dxc + cos * dyc
 
-    x_out = _bilinear_gather(x, yy, xx, fill=0.0)
-    s_out = _bilinear_gather(s_oh, yy, xx, fill=0.0)
+    if any_warp:
+        x_out = _bilinear_gather(x, yy, xx, fill=0.0)
+        s_out = _bilinear_gather(s_oh, yy, xx, fill=0.0)
+    else:
+        x_out, s_out = x, s_oh
+
+    # flips last, as exact array reversals (ref batch_provider.py:252-264).
+    # NB: folding flips into the gather coordinates makes XLA:TPU lower the
+    # gather pathologically (~40ms/batch); reversals are layout ops.
+    flip_p = 1.0 / max(2, every_nth)
+    if opts.get("do_fliplr", False):
+        flr = jax.random.bernoulli(k_flr, flip_p)
+        x_out = jnp.where(flr, x_out[:, ::-1, :], x_out)
+        s_out = jnp.where(flr, s_out[:, ::-1, :], s_out)
+    if opts.get("do_flipud", False):
+        fud = jax.random.bernoulli(k_fud, flip_p)
+        x_out = jnp.where(fud, x_out[::-1, :, :], x_out)
+        s_out = jnp.where(fud, s_out[::-1, :, :], s_out)
     return x_out, s_out
 
 

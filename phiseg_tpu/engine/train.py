@@ -107,10 +107,17 @@ def make_train_step(
     cfg: ExperimentConfig,
     tx: optax.GradientTransformation,
     augment_fn: Optional[AugmentFn] = None,
-    use_fused_ce: bool = False,
+    use_fused_ce: Optional[bool] = None,
     donate: bool = True,
 ):
-    """Build the jitted train step: fwd + bwd + optimiser + BN stats in one XLA program."""
+    """Build the jitted train step: fwd + bwd + optimiser + BN stats in one XLA program.
+
+    use_fused_ce=None (auto) enables the Pallas fused multi-scale CE kernel
+    on TPU and keeps the plain-XLA path elsewhere (the kernel's CPU fallback
+    is interpreter-mode, fine for tests but slow).
+    """
+    if use_fused_ce is None:
+        use_fused_ce = jax.default_backend() == "tpu"
 
     def loss_fn(params, batch_stats, x, s_oh, rng):
         outputs, mutated = model.apply(

@@ -115,11 +115,9 @@ class Trainer:
 
             augment_fn = make_augment_fn(cfg.augmentation_options, cfg.nlabels)
 
-        use_fused = cfg.use_fused_loss_kernel
-        if use_fused is None:
-            use_fused = jax.default_backend() == "tpu"
         self.train_step = make_train_step(
-            self.model, cfg, self.tx, augment_fn=augment_fn, use_fused_ce=use_fused
+            self.model, cfg, self.tx, augment_fn=augment_fn,
+            use_fused_ce=cfg.use_fused_loss_kernel,
         )
         self.eval_loss = make_eval_loss_fn(self.model, cfg)
         self.validate_fn = make_validation_fn(self.model, cfg)
@@ -194,6 +192,7 @@ class Trainer:
 
                 if step % cfg.validation_frequency == 0 and step > self.init_step:
                     self.do_validation(data, step)
+                    t_last = time.perf_counter()  # exclude validation from img/s
         finally:
             prefetch.stop()
         return self.state

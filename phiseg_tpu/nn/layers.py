@@ -146,7 +146,10 @@ class ConvBlock(nn.Module):
 
         if self.activation is not None:
             x = self.activation(x)
-        return x
+        # Back to the compute dtype: norms promote to f32 (correct for the
+        # statistics) but materialising f32 activations doubles HBM traffic
+        # on what is a bandwidth-bound model.
+        return x.astype(self.dtype)
 
 
 class TransposedConvBlock(nn.Module):
@@ -253,7 +256,7 @@ def _norm_act(mod, x: jax.Array, train: bool) -> jax.Array:
         raise ValueError(f"unknown norm: {mod.norm!r}")
     if mod.activation is not None:
         x = mod.activation(x)
-    return x
+    return x.astype(mod.dtype)
 
 
 class Dense(nn.Module):
