@@ -41,21 +41,36 @@ def _use_interpret() -> bool:
 
 def _fwd_kernel(levels: int, nclass: int, tile_p: int, total_p: int,
                 logits_ref, labels_ref, out_ref):
-    """One pixel tile: all-level accumulated CE partial sums."""
+    """One pixel tile: all-level accumulated CE partial sums.
+
+    The TPU grid is sequential, so the (8, 128) output block (full array,
+    same block every step) accumulates safely across tiles.
+    """
     pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
     base = pid * tile_p
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1) + base
     mask = (pos < total_p).astype(jnp.float32)  # (1, TILE_P)
 
     labels = labels_ref[:, :]  # (C, TILE_P)
     acc = jnp.zeros((nclass, tile_p), jnp.float32)
+    # Per-level sums land in row 0, lane i -- selected with iota masks since
+    # Pallas TPU supports neither scalar VMEM stores nor scatter.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    contrib = jnp.zeros((8, 128), jnp.float32)
     for i in reversed(range(levels)):
         acc = acc + logits_ref[i * nclass:(i + 1) * nclass, :].astype(jnp.float32)
         m = jnp.max(acc, axis=0, keepdims=True)
         lse = m + jnp.log(jnp.sum(jnp.exp(acc - m), axis=0, keepdims=True))
         dot = jnp.sum(labels * acc, axis=0, keepdims=True)
         ce = jnp.sum((lse - dot) * mask)  # scalar partial for this tile
-        out_ref[0, i] = ce
+        contrib = contrib + jnp.where((rows == 0) & (cols == i), ce, 0.0)
+    out_ref[:, :] = out_ref[:, :] + contrib
 
 
 def _bwd_kernel(levels: int, nclass: int, tile_p: int, total_p: int,
@@ -116,7 +131,7 @@ def _fwd(stacked_logits, s_oh, tile_p):
     lg, lb, levels, nclass, b, p, p_pad = _prep(stacked_logits, s_oh, tile_p)
     num_tiles = p_pad // tile_p
 
-    partials = pl.pallas_call(
+    sums = pl.pallas_call(
         functools.partial(_fwd_kernel, levels, nclass, tile_p, p),
         grid=(num_tiles,),
         in_specs=[
@@ -125,13 +140,13 @@ def _fwd(stacked_logits, s_oh, tile_p):
             pl.BlockSpec((nclass, tile_p), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((8, 128), lambda t: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=_use_interpret(),
     )(lg, lb)
 
-    per_level = jnp.sum(partials[:, :levels], axis=0) / b
+    per_level = sums[0, :levels] / b
     return per_level, (stacked_logits, s_oh)
 
 
