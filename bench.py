@@ -80,7 +80,8 @@ def main(argv=None):
     dt = time.perf_counter() - t0
     images_per_sec = cfg.batch_size * steps / dt
 
-    # 100-sample single-image inference latency
+    # 100-sample inference: single-image synced latency AND batched eval
+    # throughput (the quantitative-eval workload processes image batches).
     sampler = make_sample_fn(model, 100)
     x1 = x[:1]
     probs = sampler(state.variables, x1, rng)  # compile
@@ -93,6 +94,16 @@ def main(argv=None):
         lat.append((time.perf_counter() - t0) * 1000)
     p50_ms = statistics.median(lat)
 
+    xb = x[: min(8, cfg.batch_size)]
+    probs = sampler(state.variables, xb, rng)
+    jax.block_until_ready(probs)
+    reps = 3 if args.quick else 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        probs = sampler(state.variables, xb, jax.random.fold_in(rng, 2000 + i))
+    jax.block_until_ready(probs)
+    batched_ms_per_img = (time.perf_counter() - t0) * 1000 / reps / xb.shape[0]
+
     result = {
         "metric": "phiseg_7_5 train throughput (128x128, batch %d, %s, on-device aug)"
         % (cfg.batch_size, args.dtype),
@@ -101,6 +112,7 @@ def main(argv=None):
         "vs_baseline": round(images_per_sec / ASSUMED_TF1_IMAGES_PER_SEC, 2),
         "extra": {
             "sample100_p50_ms_per_image": round(p50_ms, 2),
+            "sample100_ms_per_image_batched": round(batched_ms_per_img, 2),
             "step_ms": round(1000 * dt / steps, 2),
             "device": str(jax.devices()[0]),
             "assumed_tf1_baseline_images_per_sec": ASSUMED_TF1_IMAGES_PER_SEC,

@@ -129,10 +129,14 @@ def make_train_step(
         )
         return loss, (mutated.get("batch_stats", {}), loss_dict)
 
+    # Augmentation runs as its OWN jitted program, not fused into the step:
+    # standalone it costs ~0.3ms/batch, but compiled into the train program
+    # it degrades the whole step by ~15ms (XLA fusion/layout interaction with
+    # the warp gather; an optimization_barrier does not help). The extra HBM
+    # round-trip of one batch is noise by comparison.
+    aug_jit = jax.jit(augment_fn) if augment_fn is not None else None
+
     def step_fn(state: TrainState, x: jax.Array, s: jax.Array, rng: jax.Array):
-        if augment_fn is not None:
-            rng, aug_rng = jax.random.split(rng)
-            x, s = augment_fn(x, s, aug_rng)
         s_oh = one_hot(s, cfg.nlabels)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_bs, loss_dict)), grads = grad_fn(
@@ -148,7 +152,16 @@ def make_train_step(
         )
         return new_state, loss_dict
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    if aug_jit is None:
+        return jitted
+
+    def step_with_aug(state, x, s, rng):
+        rng, aug_rng = jax.random.split(rng)
+        x, s = aug_jit(x, s, aug_rng)
+        return jitted(state, x, s, rng)
+
+    return step_with_aug
 
 
 def make_eval_loss_fn(model: SegVAE, cfg: ExperimentConfig):
