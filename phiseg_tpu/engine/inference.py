@@ -76,8 +76,13 @@ class InferenceEngine:
     # -- uncertainty maps -----------------------------------------------------
 
     def sample_variance_map(self, x, rng, num_samples: int = 50) -> jax.Array:
-        """Pixelwise sum of per-class softmax variances over draws
-        (the tractable diagonal of ref :378-430's sample covariance)."""
+        """Pixelwise sum of per-class softmax variances over draws.
+
+        The reference sums the EIGENVALUES of the per-pixel class covariance
+        (:395-403), which equals its trace, i.e. the sum of per-class
+        variances -- this computes the same quantity without the eig, summed
+        over all classes rather than classes[:-1] (a constant factor of 2 for
+        binary segmentation since p0 = 1 - p1)."""
         probs = self.sample_probs(x, rng, num_samples)
         return jnp.sum(jnp.var(probs, axis=0), axis=-1)  # (B,H,W)
 

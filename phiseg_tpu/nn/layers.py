@@ -26,6 +26,41 @@ Dtype = Any
 he_normal = nn.initializers.he_normal()
 
 
+def _bilinear_upsample_init(key, shape, dtype=jnp.float32):
+    """Bilinear-interpolation kernel init for transposed convs
+    (ref tfwrapper/utils.py:275-306)."""
+    kh, kw = shape[0], shape[1]
+    fy, fx = (kh + 1) // 2, (kw + 1) // 2
+    cy = fy - 1 if kh % 2 == 1 else fy - 0.5
+    cx = fx - 1 if kw % 2 == 1 else fx - 0.5
+    og = jnp.mgrid[:kh, :kw]
+    filt = (1 - jnp.abs(og[0] - cy) / fy) * (1 - jnp.abs(og[1] - cx) / fx)
+    w = jnp.zeros(shape, dtype)
+    n = min(shape[2], shape[3])
+    for c in range(n):
+        w = w.at[:, :, c, c].set(filt.astype(dtype))
+    return w
+
+
+# Weight-initialiser registry (ref tfwrapper/utils.py:214-271: he_normal /
+# he_uniform / xavier_normal / xavier_uniform / caffe_uniform / bilinear).
+WEIGHT_INITS = {
+    "he_normal": nn.initializers.he_normal(),
+    "he_uniform": nn.initializers.he_uniform(),
+    "xavier_normal": nn.initializers.glorot_normal(),
+    "xavier_uniform": nn.initializers.glorot_uniform(),
+    # caffe's default: uniform scaled by fan_in (ref 'caffe_uniform')
+    "caffe_uniform": nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+    "bilinear": _bilinear_upsample_init,
+}
+
+
+def get_weight_init(name: str):
+    if name not in WEIGHT_INITS:
+        raise ValueError(f"unknown weight_init {name!r} (known: {sorted(WEIGHT_INITS)})")
+    return WEIGHT_INITS[name]
+
+
 # ---------------------------------------------------------------------------
 # Pooling / resizing (pure functions)
 # ---------------------------------------------------------------------------
@@ -102,6 +137,7 @@ class ConvBlock(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     activation: ActivationFn = nn.relu
     norm: str = "none"
+    weight_init: str = "he_normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -113,7 +149,7 @@ class ConvBlock(nn.Module):
             strides=self.strides,
             padding="SAME",
             use_bias=use_bias,
-            kernel_init=he_normal,
+            kernel_init=get_weight_init(self.weight_init),
             dtype=self.dtype,
             name="conv",
         )(x)

@@ -62,6 +62,20 @@ def shard_train_step(train_step, state, mesh: Mesh):
     return train_step, state
 
 
+def shard_host_batch(x, mesh: Mesh):
+    """Multi-host batch placement: each process contributes its local slice.
+
+    On a single-controller setup this is shard_array; on a multi-host pod
+    (after jax.distributed.initialize) each process passes its LOCAL shard of
+    the global batch and jax assembles the global array.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return shard_array(x, mesh)
+    return jax.make_array_from_process_local_data(batch_sharding(mesh), np.asarray(x))
+
+
 def make_sharded_sample_fn(model, num_samples: int, mesh: Mesh):
     """N-sample inference with the SAMPLE axis sharded across the mesh.
 

@@ -98,3 +98,25 @@ def test_reparameterize_deterministic(rng):
     z1 = reparameterize(rng, mu, sigma)
     z2 = reparameterize(rng, mu, sigma)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+
+def test_weight_init_registry(rng):
+    import jax.numpy as jnp
+    from phiseg_tpu.nn.layers import WEIGHT_INITS, get_weight_init, ConvBlock
+
+    for name in WEIGHT_INITS:
+        if name == "bilinear":
+            w = get_weight_init(name)(rng, (4, 4, 3, 3))
+            # bilinear kernel sums to ~1 per in/out channel pair diagonal
+            assert float(w[:, :, 0, 0].sum()) > 0
+            assert float(w[:, :, 0, 1].sum()) == 0.0
+        else:
+            w = get_weight_init(name)(rng, (3, 3, 4, 8))
+            assert w.shape == (3, 3, 4, 8)
+            assert bool(jnp.isfinite(w).all())
+    import pytest
+    with pytest.raises(ValueError):
+        get_weight_init("bogus")
+    block = ConvBlock(4, weight_init="xavier_uniform")
+    v = block.init({"params": rng}, jnp.zeros((1, 8, 8, 2)), train=True)
+    assert v["params"]["conv"]["kernel"].shape == (3, 3, 2, 4)
