@@ -69,6 +69,9 @@ class CheckpointManager:
         if step is None:
             step = int(jax.device_get(state.step))
         path = self._path(tag, step)
+        # One bulk transfer: leaf-by-leaf D2H is pathologically slow through
+        # tunnelled backends (~30ms per array). No-op for host arrays.
+        state = jax.device_get(state)
         data = serialization.to_bytes(state)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

@@ -4,8 +4,9 @@ Equivalent of the reference engine's session loop (phiseg/phiseg_model.py:
 166-207 train, :530-701 validation with multi-criterion best checkpoints,
 :821-848 auto-resume). TPU-native differences:
 
-  * the train step is one jitted XLA program (fwd+bwd+optimiser+BN stats),
-    with optional on-device augmentation fused in;
+  * the train step is one jitted XLA program (fwd+bwd+optimiser+BN stats);
+    on-device augmentation runs as its own small jitted program right
+    before it (see engine/train.py for why it is not fused);
   * data loading is overlapped with device compute via a background
     prefetch thread;
   * validation sampling and GED/NCC/Dice run on device (vmapped), not in
@@ -203,7 +204,10 @@ class Trainer:
         """Full validation pass (ref _do_validation :530-701)."""
         cfg = self.cfg
         t0 = time.time()
-        self.ckpt.save(self.state, "latest")  # filename label = state.step
+        # Snapshot the state to host ONCE; the (up to five) tag saves below
+        # then serialise from host memory instead of re-transferring.
+        host_state = jax.device_get(self.state)
+        self.ckpt.save(host_state, "latest")  # filename label = state.step
 
         rng = jax.random.PRNGKey(cfg.seed + 2 + step)
         variables = self.state.variables
@@ -253,16 +257,16 @@ class Trainer:
         # multi-criterion best checkpoints (ref :638-660)
         if mean_dice >= self.best["dice"]:
             self.best["dice"] = mean_dice
-            self.ckpt.save(self.state, "best_dice")
+            self.ckpt.save(host_state, "best_dice")
         if avg_elbo <= self.best["loss"]:
             self.best["loss"] = avg_elbo
-            self.ckpt.save(self.state, "best_loss")
+            self.ckpt.save(host_state, "best_loss")
         if avg_ged <= self.best["ged"]:
             self.best["ged"] = avg_ged
-            self.ckpt.save(self.state, "best_ged")
+            self.ckpt.save(host_state, "best_ged")
         if avg_ncc >= self.best["ncc"]:
             self.best["ncc"] = avg_ncc
-            self.ckpt.save(self.state, "best_ncc")
+            self.ckpt.save(host_state, "best_ncc")
 
         scalars = {
             "validation_dice_mean_score": mean_dice,
