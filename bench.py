@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true", help="fewer timing iterations")
     p.add_argument("--batch", type=int, default=None, help="override batch size")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrunk model for CPU smoke tests of the bench itself")
     args = p.parse_args(argv)
 
     import jax
@@ -51,11 +53,16 @@ def main(argv=None):
     from phiseg_tpu.experiments import get_experiment
 
     cfg = get_experiment("phiseg_7_5_synth").replace(compute_dtype=args.dtype)
+    if args.tiny:
+        cfg = cfg.replace(n0=2, image_size=(64, 64, 1), batch_size=2,
+                          compute_dtype="float32")
     if args.batch:
         cfg = cfg.replace(batch_size=args.batch)
 
     steps = 10 if args.quick else 30
     warmup = 3
+    if args.tiny:
+        steps, warmup = 2, 1
 
     model = build_model(cfg)
     tx = make_optimizer(cfg)
