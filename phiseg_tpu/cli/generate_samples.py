@@ -69,7 +69,7 @@ def generate(log_dir: str, num_samples: int = 100, tag: str = "best_ged",
 
         n_show = min(16, num_samples)
         m = gts.shape[-1]
-        cols = max(n_show, m + 1)
+        cols = max(n_show, m + 1, 3)  # >= 3 for the error-map row
         fig, axes = plt.subplots(3, cols, figsize=(1.2 * cols, 4))
         for ax in axes.ravel():
             ax.axis("off")

@@ -53,19 +53,23 @@ def evaluate(log_dir: str, num_samples: int = 100, tag: str = "best_dice",
     rng = jax.random.PRNGKey(cfg.seed + 101)
     host_rng = np.random.RandomState(cfg.seed)
 
+    from phiseg_tpu.engine.validation import pad_to_batch
+
     dice_list = []
     t0 = time.time()
     for b0 in range(0, n, batch):
         b1 = min(b0 + batch, n)
+        n_real = b1 - b0
         x = np.asarray(images[b0:b1]).astype(np.float32)[..., None]
         ann = np.asarray(labels[b0:b1]).astype(np.int32)  # (B,H,W,M)
         # score against a random annotator (ref scores against the loader's
         # random-annotator batch, :42-50)
-        picks = host_rng.choice(list(cfg.annotator_range), size=b1 - b0)
+        picks = host_rng.choice(list(cfg.annotator_range), size=n_real)
         s_sel = np.stack([ann[i, :, :, a] for i, a in enumerate(picks)], 0)
+        x, s_sel = pad_to_batch(x, batch), pad_to_batch(s_sel, batch)
         d = predict_and_score(jnp.asarray(x), jnp.asarray(s_sel),
                               jax.random.fold_in(rng, b0))
-        dice_list.append(np.asarray(d))
+        dice_list.append(np.asarray(d)[:n_real])
         log.info("%d/%d images (%.2f s/img)", b1, n, (time.time() - t0) / b1)
 
     dice_arr = np.concatenate(dice_list, 0)  # (N, nlabels)

@@ -48,17 +48,21 @@ def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
     n = images.shape[0] if max_images is None else min(max_images, images.shape[0])
     rng = jax.random.PRNGKey(cfg.seed + 99)
 
+    from phiseg_tpu.engine.validation import pad_to_batch
+
     ged_list, ncc_list = [], []
     t0 = time.time()
     for b0 in range(0, n, batch):
         b1 = min(b0 + batch, n)
+        n_real = b1 - b0
         x = np.asarray(images[b0:b1]).astype(np.float32)[..., None]
         ann = np.transpose(np.asarray(labels[b0:b1]).astype(np.int32), (0, 3, 1, 2))
         s_sel = ann[:, 0]  # dice output unused here
+        x, ann, s_sel = (pad_to_batch(a, batch) for a in (x, ann, s_sel))
         _, g, nc, _ = vfn(variables, jnp.asarray(x), jnp.asarray(ann),
                           jnp.asarray(s_sel), jax.random.fold_in(rng, b0))
-        ged_list.extend(np.asarray(g).tolist())
-        ncc_list.extend(np.asarray(nc).tolist())
+        ged_list.extend(np.asarray(g)[:n_real].tolist())
+        ncc_list.extend(np.asarray(nc)[:n_real].tolist())
         log.info("%d/%d images (%.2f s/img)", b1, n, (time.time() - t0) / b1)
 
     ged_arr = np.asarray(ged_list)

@@ -75,14 +75,18 @@ def _augment_one(x: jax.Array, s_oh: jax.Array, rng: jax.Array,
 
     # scale-crop: square side r from [H-offset, H], random origin; resize back
     # (batch_provider.py:211-224). Backward: src = origin + dst * r / H.
+    # Gated with a coordinate select (NOT by folding the coin into r, which
+    # is only an identity for square images); r is clamped to the short side
+    # so non-square inputs stay in bounds.
     if opts.get("do_scaleaug", False):
         offset = float(opts.get("offset", 30))
-        r = jax.random.randint(k_r, (), h - int(offset), h + 1).astype(jnp.float32)
-        r = do_geom * r + (1.0 - do_geom) * h
+        short = min(h, w)
+        r = jax.random.randint(k_r, (), max(short - int(offset), 1),
+                               short + 1).astype(jnp.float32)
         px = jnp.floor(jax.random.uniform(k_px) * (w - r + 1.0))
         py = jnp.floor(jax.random.uniform(k_py) * (h - r + 1.0))
-        xx = px + xx * (r / w)
-        yy = py + yy * (r / h)
+        xx = jnp.where(do_geom > 0, px + xx * (r / w), xx)
+        yy = jnp.where(do_geom > 0, py + yy * (r / h), yy)
 
     # rotation about the image centre (batch_provider.py:197-208)
     if opts.get("do_rotations", False):

@@ -21,18 +21,12 @@ Differences from the reference, all documented:
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Mapping, Optional, Sequence
 
 import numpy as np
 
-
-def normalise_images(x: np.ndarray) -> np.ndarray:
-    """Per-image zero-mean / unit-std (ref utils.py:196-252)."""
-    out = np.zeros_like(x, dtype=np.float32)
-    for i in range(x.shape[0]):
-        xi = x[i].astype(np.float32)
-        out[i] = (xi - xi.mean()) / max(xi.std(), 1e-12)
-    return out
+from phiseg_tpu.utils.misc import normalise_images
 
 
 def canonicalise_aug_options(opts: Mapping[str, Any]) -> dict:
@@ -78,24 +72,30 @@ class BatchProvider:
         self.normalise = normalise
         self.rescale_range = rescale_range
         self.rng = np.random.RandomState(seed)
+        # next_batch may be called from the trainer's prefetch thread AND the
+        # validation path concurrently; RandomState and the epoch bookkeeping
+        # are not thread-safe.
+        self._lock = threading.Lock()
 
     # -- sampling -----------------------------------------------------------
 
     def next_batch(self, batch_size: int):
         """Random batch; sampling without replacement across an epoch
-        (ref batch_provider.py:43-67)."""
-        if len(self.unused_indices) < batch_size:
-            self.unused_indices = self.indices
-        batch_indices = self.rng.choice(self.unused_indices, batch_size, replace=False)
-        self.unused_indices = np.setdiff1d(self.unused_indices, batch_indices)
-        # HDF5 fancy indexing requires sorted indices (ref :56).
-        batch_indices = np.sort(batch_indices)
+        (ref batch_provider.py:43-67). Thread-safe."""
+        with self._lock:
+            if len(self.unused_indices) < batch_size:
+                self.unused_indices = self.indices
+            batch_indices = self.rng.choice(self.unused_indices, batch_size,
+                                            replace=False)
+            self.unused_indices = np.setdiff1d(self.unused_indices, batch_indices)
+            # HDF5 fancy indexing requires sorted indices (ref :56).
+            batch_indices = np.sort(batch_indices)
 
-        x = np.asarray(self.images[batch_indices, ...])
-        y = np.asarray(self.labels[batch_indices, ...])
-        if self.num_labels_per_subject > 1:
-            y = self._select_random_label(y)
-        return self._post_process(x, y)
+            x = np.asarray(self.images[batch_indices, ...])
+            y = np.asarray(self.labels[batch_indices, ...])
+            if self.num_labels_per_subject > 1:
+                y = self._select_random_label(y)
+            return self._post_process(x, y)
 
     def iterate_batches(self, batch_size: int, shuffle: bool = True):
         """Sequential epoch generator (ref batch_provider.py:69-96)."""

@@ -84,7 +84,4 @@ class SyntheticData:
         )
         self.validation = BatchProvider(va_x, va_y, np.arange(n_val), seed=seed + 1, **kw)
         self.test = BatchProvider(te_x, te_y, np.arange(n_test), seed=seed + 2, **kw)
-        self.validation.images = va_x
-        self.validation.labels = va_y
-        self.test.images = te_x
-        self.test.labels = te_y
+        # raw-array access (.images/.labels) comes from BatchProvider itself

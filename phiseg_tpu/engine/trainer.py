@@ -116,9 +116,14 @@ class Trainer:
 
             augment_fn = make_augment_fn(cfg.augmentation_options, cfg.nlabels)
 
+        use_fused = cfg.use_fused_loss_kernel
+        if use_fused is None and mesh is not None:
+            # The Pallas kernel is not shard_map-wrapped yet, so GSPMD cannot
+            # partition it across a mesh; keep the XLA path there.
+            use_fused = False
         self.train_step = make_train_step(
             self.model, cfg, self.tx, augment_fn=augment_fn,
-            use_fused_ce=cfg.use_fused_loss_kernel,
+            use_fused_ce=use_fused,
         )
         self.eval_loss = make_eval_loss_fn(self.model, cfg)
         self.validate_fn = make_validation_fn(self.model, cfg)
@@ -196,6 +201,10 @@ class Trainer:
                     t_last = time.perf_counter()  # exclude validation from img/s
         finally:
             prefetch.stop()
+        # Always persist the final state: without this, up to
+        # validation_frequency-1 trailing steps (or a whole short resumed
+        # run) would be silently discarded.
+        self.ckpt.save(jax.device_get(self.state), "latest")
         return self.state
 
     # ------------------------------------------------------------------
@@ -223,31 +232,38 @@ class Trainer:
         if cfg.num_validation_images != "all":
             n_images = min(n_images, int(cfg.num_validation_images))
 
+        from phiseg_tpu.engine.validation import pad_to_batch
+
         host_rng = np.random.RandomState(cfg.seed + step)
-        dices, geds, nccs, elbos = [], [], [], []
+        dices, geds, nccs = [], [], []
+        elbos, elbo_weights = [], []
         for b0 in range(0, n_images, val_batch):
             b1 = min(b0 + val_batch, n_images)
+            n_real = b1 - b0
             x = np.asarray(data.validation.images[b0:b1]).astype(np.float32)[..., None]
             ann = np.asarray(data.validation.labels[b0:b1]).astype(np.int32)  # (B,H,W,M)
             ann = np.transpose(ann, (0, 3, 1, 2))  # (B,M,H,W)
             # random annotator per image (ref :575)
-            picks = host_rng.choice(list(cfg.annotator_range), size=b1 - b0)
+            picks = host_rng.choice(list(cfg.annotator_range), size=n_real)
             s_sel = np.stack([ann[i, a] for i, a in enumerate(picks)], axis=0)
+            # fixed batch shape -> one compile; slice padded results away
+            x, ann, s_sel = (pad_to_batch(a, val_batch) for a in (x, ann, s_sel))
             d, g, nc, e = self.validate_fn(
                 variables, jnp.asarray(x), jnp.asarray(ann), jnp.asarray(s_sel),
                 jax.random.fold_in(rng, b0),
             )
-            dices.append(np.asarray(d))
-            geds.append(np.asarray(g))
-            nccs.append(np.asarray(nc))
+            dices.append(np.asarray(d)[:n_real])
+            geds.append(np.asarray(g)[:n_real])
+            nccs.append(np.asarray(nc)[:n_real])
             elbos.append(float(e))
+            elbo_weights.append(n_real)
 
         dice_arr = np.concatenate(dices, 0)  # (N, nlabels)
         per_structure_dice = dice_arr.mean(0)
         mean_dice = float(per_structure_dice.mean())
         avg_ged = float(np.concatenate(geds).mean())
         avg_ncc = float(np.concatenate(nccs).mean())
-        avg_elbo = float(np.mean(elbos))
+        avg_elbo = float(np.average(elbos, weights=elbo_weights))
 
         log.info(
             "VALIDATION step %d (%d images): dice %.4f | -ELBO %.4f | GED %.4f | NCC %.4f (%.1fs)",

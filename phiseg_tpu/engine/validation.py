@@ -25,6 +25,22 @@ from phiseg_tpu.models.segvae import SegVAE, aggregate_levels
 from phiseg_tpu.nn.losses import one_hot
 
 
+def pad_to_batch(arr, batch: int):
+    """Pad the leading axis to `batch` by repeating the last element.
+
+    Keeps every eval batch the same shape so the jitted validation program
+    compiles exactly once (a remainder batch would force a second multi-
+    minute TPU compile); callers slice the results back to the real count.
+    """
+    import numpy as np
+
+    n = arr.shape[0]
+    if n == batch:
+        return arr
+    reps = np.concatenate([np.arange(n), np.full(batch - n, n - 1)])
+    return arr[reps]
+
+
 def make_validation_fn(model: SegVAE, cfg: ExperimentConfig):
     """Returns jitted fn(variables, x, s_annotators, s_selected, rng) ->
     (dice (B, nlabels), ged (B,), sncc (B,), elbo scalar).

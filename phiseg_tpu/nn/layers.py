@@ -170,6 +170,10 @@ class ConvBlock(nn.Module):
         elif self.norm == "layer":
             x = nn.LayerNorm(epsilon=1e-3, name="ln",
                              reduction_axes=(-3, -2, -1))(x)
+        elif self.norm == "renorm":
+            from phiseg_tpu.nn.normalization import BatchRenorm
+
+            x = BatchRenorm(name="brn")(x, train=train)
         elif self.norm == "instance":
             mean = jnp.mean(x, axis=(1, 2), keepdims=True)
             var = jnp.var(x, axis=(1, 2), keepdims=True)

@@ -36,12 +36,18 @@ class BatchRenorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
-                 step: jax.Array | int = 0) -> jax.Array:
+                 step: jax.Array | int | None = None) -> jax.Array:
         feat = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((feat,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((feat,), jnp.float32))
+        # Self-counting step for the clip schedule (the reference reads the
+        # TF global step, normalisation.py:123); an explicit `step` overrides.
+        step_var = self.variable("batch_stats", "steps",
+                                 lambda: jnp.zeros((), jnp.int32))
+        if step is None:
+            step = step_var.value
         scale = self.param("scale", nn.initializers.ones, (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
 
@@ -64,6 +70,7 @@ class BatchRenorm(nn.Module):
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                step_var.value = step_var.value + 1
         else:
             out = (x32 - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
 

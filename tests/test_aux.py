@@ -84,3 +84,54 @@ def test_batch_renorm_clip_schedule():
     assert float(_scheduled_clip(jnp.asarray(10_000), 1.0, 3.0, 500.0, 4000.0)) == 3.0
     mid = float(_scheduled_clip(jnp.asarray(2250), 1.0, 3.0, 500.0, 4000.0))
     assert 1.0 < mid < 3.0
+
+
+def test_conv_block_renorm_reachable():
+    import jax.numpy as jnp
+    from phiseg_tpu.nn.layers import ConvBlock
+
+    block = ConvBlock(4, norm="renorm")
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    v = block.init({"params": key}, x, train=True)
+    assert "brn" in v["params"]
+    y, mut = block.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 8, 8, 4)
+    # self-counting step advanced
+    assert int(mut["batch_stats"]["brn"]["steps"]) == 1
+    y_eval = block.apply(v, x, train=False, mutable=False)
+    assert np.isfinite(np.asarray(y_eval)).all()
+
+
+def test_pad_to_batch():
+    from phiseg_tpu.engine.validation import pad_to_batch
+
+    a = np.arange(12).reshape(3, 4)
+    p = pad_to_batch(a, 5)
+    assert p.shape == (5, 4)
+    np.testing.assert_array_equal(p[3], a[2])
+    np.testing.assert_array_equal(pad_to_batch(a, 3), a)
+
+
+def test_augment_scalecrop_identity_when_gated_off():
+    import jax.numpy as jnp
+    from phiseg_tpu.data.augment_device import make_augment_fn
+
+    # non-square image; gating off (every-nth huge) must be exact identity
+    fn = make_augment_fn({"do_scaleaug": True, "augment_every_nth": 10**9}, 2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 24, 1).astype(np.float32))
+    s = jnp.zeros((2, 16, 24), jnp.int32)
+    x2, s2 = fn(x, s, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+
+
+def test_augment_scalecrop_nonsquare_in_bounds():
+    import jax.numpy as jnp
+    from phiseg_tpu.data.augment_device import make_augment_fn
+
+    fn = make_augment_fn({"do_scaleaug": True, "augment_every_nth": 1, "offset": 8}, 2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 16, 1).astype(np.float32))
+    s = jnp.zeros((2, 32, 16), jnp.int32)
+    x2, s2 = fn(x, s, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(x2)).all()
+    assert x2.shape == x.shape
