@@ -138,6 +138,9 @@ class ConvBlock(nn.Module):
     activation: ActivationFn = nn.relu
     norm: str = "none"
     weight_init: str = "he_normal"
+    # Keep-probability dropout after the activation (ref layers.py:139-140,
+    # :653-665). Requires a 'dropout' rng stream in apply() when train=True.
+    dropout_keep_prob: Optional[float] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -186,6 +189,9 @@ class ConvBlock(nn.Module):
 
         if self.activation is not None:
             x = self.activation(x)
+        if self.dropout_keep_prob is not None:
+            x = nn.Dropout(rate=1.0 - self.dropout_keep_prob,
+                           deterministic=not train, name="dropout")(x)
         # Back to the compute dtype: norms promote to f32 (correct for the
         # statistics) but materialising f32 activations doubles HBM traffic
         # on what is a bandwidth-bound model.

@@ -120,3 +120,24 @@ def test_weight_init_registry(rng):
     block = ConvBlock(4, weight_init="xavier_uniform")
     v = block.init({"params": rng}, jnp.zeros((1, 8, 8, 2)), train=True)
     assert v["params"]["conv"]["kernel"].shape == (3, 3, 2, 4)
+
+
+def test_activations():
+    from phiseg_tpu.nn.activations import leaky_relu
+
+    x = jnp.asarray([-2.0, 0.0, 3.0])
+    np.testing.assert_allclose(np.asarray(leaky_relu(x)), [-0.02, 0.0, 3.0])
+    np.testing.assert_allclose(np.asarray(leaky_relu(x, alpha=0.2)), [-0.4, 0.0, 3.0])
+
+
+def test_conv_block_dropout(rng):
+    block = ConvBlock(4, dropout_keep_prob=0.5)
+    x = jax.random.normal(rng, (2, 8, 8, 3))
+    v = block.init({"params": rng}, x, train=False)
+    # eval mode: deterministic, no rng stream needed
+    y1 = block.apply(v, x, train=False)
+    y2 = block.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # train mode: stochastic, requires 'dropout' rng; some activations zeroed
+    yt = block.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert (np.asarray(yt) == 0).mean() > 0.2
