@@ -29,13 +29,20 @@ from phiseg_tpu.nn.losses import kl_two_gauss_diag_cov, multinoulli_loss_with_lo
 
 
 def residual_multinoulli_loss(
-    s_out_list, s_oh: jax.Array, use_fused: bool = False
+    s_out_list, s_oh: jax.Array, use_fused: bool = False, mesh=None
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Sum over levels of CE(accumulated logits, GT) (ref :241-262)."""
     if use_fused:
-        from phiseg_tpu.ops.fused_residual_ce import fused_residual_ce
+        from phiseg_tpu.ops.fused_residual_ce import (
+            fused_residual_ce,
+            fused_residual_ce_dp,
+        )
 
-        per_level = fused_residual_ce(jnp.stack(s_out_list, axis=0), s_oh)
+        stacked = jnp.stack(s_out_list, axis=0)
+        if mesh is not None:
+            per_level = fused_residual_ce_dp(stacked, s_oh, mesh)
+        else:
+            per_level = fused_residual_ce(stacked, s_oh)
         loss_dict = {
             f"residual_multinoulli_loss_lvl{i}": per_level[i]
             for i in range(len(s_out_list))
@@ -87,13 +94,15 @@ def phiseg_objective(
     cfg: ExperimentConfig,
     params=None,
     use_fused_ce: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Total loss + per-term dict (keys match ref loss_dict, :114-130)."""
     loss_dict: Dict[str, jax.Array] = {}
     total = jnp.float32(0.0)
 
     if cfg.residual_multinoulli_loss_weight is not None:
-        ce, ce_dict = residual_multinoulli_loss(outputs.s_out_list, s_oh, use_fused_ce)
+        ce, ce_dict = residual_multinoulli_loss(outputs.s_out_list, s_oh,
+                                                use_fused_ce, mesh=mesh)
         loss_dict.update(ce_dict)
         total = total + cfg.residual_multinoulli_loss_weight * ce
 

@@ -109,12 +109,14 @@ def make_train_step(
     augment_fn: Optional[AugmentFn] = None,
     use_fused_ce: Optional[bool] = None,
     donate: bool = True,
+    mesh=None,
 ):
     """Build the jitted train step: fwd + bwd + optimiser + BN stats in one XLA program.
 
     use_fused_ce=None (auto) enables the Pallas fused multi-scale CE kernel
     on TPU and keeps the plain-XLA path elsewhere (the kernel's CPU fallback
-    is interpreter-mode, fine for tests but slow).
+    is interpreter-mode, fine for tests but slow). Under a mesh, pass the
+    mesh so the kernel runs shard_map-wrapped on each device's batch shard.
     """
     if use_fused_ce is None:
         use_fused_ce = jax.default_backend() == "tpu"
@@ -125,7 +127,8 @@ def make_train_step(
             x, s_oh, rng, train=True, mutable=["batch_stats"],
         )
         loss, loss_dict = phiseg_objective(
-            outputs, s_oh, cfg, params=params, use_fused_ce=use_fused_ce
+            outputs, s_oh, cfg, params=params, use_fused_ce=use_fused_ce,
+            mesh=mesh,
         )
         return loss, (mutated.get("batch_stats", {}), loss_dict)
 

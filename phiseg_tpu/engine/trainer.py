@@ -116,14 +116,9 @@ class Trainer:
 
             augment_fn = make_augment_fn(cfg.augmentation_options, cfg.nlabels)
 
-        use_fused = cfg.use_fused_loss_kernel
-        if use_fused is None and mesh is not None:
-            # The Pallas kernel is not shard_map-wrapped yet, so GSPMD cannot
-            # partition it across a mesh; keep the XLA path there.
-            use_fused = False
         self.train_step = make_train_step(
             self.model, cfg, self.tx, augment_fn=augment_fn,
-            use_fused_ce=use_fused,
+            use_fused_ce=cfg.use_fused_loss_kernel, mesh=mesh,
         )
         self.eval_loss = make_eval_loss_fn(self.model, cfg)
         self.validate_fn = make_validation_fn(self.model, cfg)

@@ -186,3 +186,30 @@ def _bwd_rule(tile_p, res, g):
 
 
 fused_residual_ce.defvjp(_fwd_rule, _bwd_rule)
+
+
+def fused_residual_ce_dp(stacked_logits: jax.Array, s_oh: jax.Array,
+                         mesh, tile_p: int = DEFAULT_TILE_P) -> jax.Array:
+    """Data-parallel fused CE: the Pallas kernel under shard_map.
+
+    GSPMD cannot auto-partition a Mosaic custom call, so under a mesh each
+    device runs the kernel on its LOCAL batch shard and the per-level means
+    are pmean'd (equal shards -> equals the global batch mean). Differentiable
+    through shard_map; gradients come out batch-sharded like the logits.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(lg, so):
+        per_level = fused_residual_ce(lg, so, tile_p)
+        return jax.lax.pmean(per_level, axis)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # metadata, which the checker would otherwise demand.
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )(stacked_logits, s_oh)
