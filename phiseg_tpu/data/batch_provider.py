@@ -29,6 +29,21 @@ import numpy as np
 from phiseg_tpu.utils.misc import normalise_images
 
 
+def resize_batch(batch: np.ndarray, target_size: Sequence[int]) -> np.ndarray:
+    """Nearest-neighbour resize of a batch's spatial dims (H, W).
+
+    Equivalent of the reference's `resize_batch` (batch_provider.py:12-16):
+    scipy zoom with order=0 over axes 1-2, channels untouched. Also accepts
+    3-D (B, H, W) label batches, which the reference's 4-factor zoom cannot.
+    """
+    from scipy.ndimage import zoom
+
+    fx = float(target_size[0]) / batch.shape[1]
+    fy = float(target_size[1]) / batch.shape[2]
+    factors = (1.0, fx, fy) + (1.0,) * (batch.ndim - 3)
+    return zoom(batch, factors, order=0)
+
+
 def canonicalise_aug_options(opts: Mapping[str, Any]) -> dict:
     """Map the reference's inconsistent flip keys onto one spelling."""
     o = dict(opts)
@@ -54,6 +69,7 @@ class BatchProvider:
         augmentation_options: Optional[Mapping[str, Any]] = None,
         normalise: bool = False,
         rescale_range: Optional[tuple] = None,
+        resize_to: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
     ):
         self.images = images
@@ -71,6 +87,7 @@ class BatchProvider:
         self.augmentation_options = canonicalise_aug_options(augmentation_options or {})
         self.normalise = normalise
         self.rescale_range = rescale_range
+        self.resize_to = tuple(resize_to) if resize_to is not None else None
         self.rng = np.random.RandomState(seed)
         # next_batch may be called from the trainer's prefetch thread AND the
         # validation path concurrently; RandomState and the epoch bookkeeping
@@ -98,17 +115,28 @@ class BatchProvider:
             return self._post_process(x, y)
 
     def iterate_batches(self, batch_size: int, shuffle: bool = True):
-        """Sequential epoch generator (ref batch_provider.py:69-96)."""
-        if shuffle:
-            self.rng.shuffle(self.indices)
-        n = self.indices.shape[0]
+        """Sequential epoch generator (ref batch_provider.py:69-96).
+
+        Thread-safe against a concurrent next_batch (the trainer's prefetch
+        thread): the iteration order is a locked snapshot (self.indices is
+        never mutated, unlike the reference's in-place shuffle), and each
+        batch's HDF5 read + RandomState draw happens under the lock. The
+        lock is NOT held across yields.
+        """
+        with self._lock:
+            order = self.indices.copy()
+            if shuffle:
+                self.rng.shuffle(order)
+        n = order.shape[0]
         for b in range(0, n, batch_size):
-            batch_indices = np.sort(self.indices[b : b + batch_size])
-            x = np.asarray(self.images[batch_indices, ...])
-            y = np.asarray(self.labels[batch_indices, ...])
-            if self.num_labels_per_subject > 1:
-                y = self._select_random_label(y)
-            yield self._post_process(x, y)
+            batch_indices = np.sort(order[b : b + batch_size])
+            with self._lock:
+                x = np.asarray(self.images[batch_indices, ...])
+                y = np.asarray(self.labels[batch_indices, ...])
+                if self.num_labels_per_subject > 1:
+                    y = self._select_random_label(y)
+                batch = self._post_process(x, y)
+            yield batch
 
     # -- internals -----------------------------------------------------------
 
@@ -118,6 +146,12 @@ class BatchProvider:
         return np.stack([labels[i, ..., a] for i, a in enumerate(picks)], axis=0)
 
     def _post_process(self, x: np.ndarray, y: np.ndarray):
+        if self.resize_to is not None:
+            # Before augmentation, like the reference (:101-103); labels are
+            # resized too unless scalar-per-sample (ref guards on ndim > 1).
+            x = resize_batch(x, self.resize_to)
+            if y.ndim > 1:
+                y = resize_batch(y, self.resize_to)
         if self.do_augmentations:
             from phiseg_tpu.data.augment_host import augment_batch_host
 

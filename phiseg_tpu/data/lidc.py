@@ -36,6 +36,14 @@ def crop_or_pad_slice_to_size(sl: np.ndarray, nx: int, ny: int) -> np.ndarray:
     return out
 
 
+def _stable_uid(series_uid) -> int:
+    """Deterministic 63-bit patient id from a series_uid string."""
+    import hashlib
+
+    digest = hashlib.blake2b(str(series_uid).encode(), digest_size=8).digest()
+    return int.from_bytes(digest, "big") >> 1
+
+
 def _read_pickle_chunked(path: str):
     """2GB-safe pickle read (ref lidc_data_loader.py:56-61)."""
     max_bytes = 2**31 - 1
@@ -76,7 +84,11 @@ def prepare_data(input_file: str, output_file: str, split_seed: int = 0) -> None
         buckets[tt]["images"].append(np.asarray(value["image"], dtype=np.float64) - 0.5)
         lbl = np.asarray(value["masks"]).transpose((1, 2, 0))  # (128,128,4)
         buckets[tt]["labels"].append(lbl)
-        buckets[tt]["uids"].append(hash(sid))
+        # The reference stores hash(series_uid) (ref :98). Python's str hash
+        # is salted per-process, so the stable blake2 digest is used instead
+        # -- uids must identify the same patient across runs (documented
+        # deviation; collision-free like the reference's manual check).
+        buckets[tt]["uids"].append(_stable_uid(sid))
 
     with h5py.File(output_file, "w") as f:
         for tt, b in buckets.items():
@@ -114,6 +126,7 @@ class LIDCData:
             add_dummy_dimension=True,
             num_labels_per_subject=cfg.num_labels_per_subject,
             annotator_range=cfg.annotator_range,
+            resize_to=getattr(cfg, "resize_to", None),
         )
         self.train = BatchProvider(
             self.data["train"]["images"], self.data["train"]["labels"],

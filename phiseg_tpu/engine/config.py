@@ -5,7 +5,7 @@ Replaces the reference's Python-module-as-config system
 Configs are frozen dataclasses registered by name
 (phiseg_tpu/experiments/__init__.py); the "copy the config into the log dir
 for provenance, evals reload the snapshot" contract is preserved by
-serialising to JSON (engine/workdir.py).
+serialising to JSON (ExperimentConfig.save/load below).
 
 Machine-level paths (the reference hard-codes cluster paths in
 config/system.py:14-18) come from environment variables with sane defaults:
@@ -58,6 +58,9 @@ class ExperimentConfig:
     nlabels: int = 2
     num_labels_per_subject: int = 4
     annotator_range: Tuple[int, ...] = (0, 1, 2, 3)
+    # Provider-side nearest-neighbour resize to (H, W) before augmentation
+    # (ref batch_provider.py:35,101-103); None = off, like all LIDC configs.
+    resize_to: Optional[Tuple[int, int]] = None
     augmentation_options: Mapping[str, Any] = dataclasses.field(
         default_factory=lambda: {
             "do_fliplr": True,
@@ -131,6 +134,8 @@ class ExperimentConfig:
         d["lr_schedule"] = {int(k): float(v) for k, v in d["lr_schedule"].items()}
         d["image_size"] = tuple(d["image_size"])
         d["annotator_range"] = tuple(d["annotator_range"])
+        if d.get("resize_to") is not None:
+            d["resize_to"] = tuple(d["resize_to"])
         return cls(**d)
 
     def save(self, path: str) -> None:

@@ -151,15 +151,210 @@ def test_augment_rotation_zero_degrees_is_identity():
 
 
 def test_host_augmentation_runs():
-    from phiseg_tpu.data.augment_host import augment_batch_host, HAVE_CV2
+    from phiseg_tpu.data.augment_host import augment_batch_host
 
-    if not HAVE_CV2:
-        pytest.skip("cv2 unavailable")
     rng = np.random.RandomState(0)
     x = rng.rand(4, 32, 32).astype(np.float32)
     y = (rng.rand(4, 32, 32) > 0.5).astype(np.uint8)
-    opts = {"do_rotations": True, "do_scaleaug": True, "do_fliplr": True,
-            "nlabels": 2, "augment_every_nth": 1}
+    opts = {"do_rotations": True, "do_scaleaug": True, "do_elasticaug": True,
+            "do_fliplr": True, "do_flipud": True, "nlabels": 2,
+            "augment_every_nth": 1}
     x2, y2 = augment_batch_host(x, y, opts, rng)
     assert x2.shape == x.shape and y2.shape == y.shape
     assert set(np.unique(y2)) <= {0, 1}
+    assert np.isfinite(x2).all()
+    assert not np.allclose(x2, x)  # something actually transformed
+
+
+def test_host_augmentation_zero_rotation_identity():
+    from phiseg_tpu.data.augment_host import augment_batch_host
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 16, 16).astype(np.float32)
+    y = (rng.rand(2, 16, 16) > 0.5).astype(np.uint8)
+    x2, y2 = augment_batch_host(
+        x, y, {"do_rotations": True, "rot_degrees": 0.0, "nlabels": 2,
+               "augment_every_nth": 1}, rng)
+    np.testing.assert_allclose(x2, x, atol=1e-5)
+    np.testing.assert_array_equal(y2, y)
+
+
+def test_host_augmentation_gating_off():
+    """With a huge every_nth and flips off, nothing is ever transformed."""
+    from phiseg_tpu.data.augment_host import augment_batch_host
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(4, 16, 16).astype(np.float32)
+    y = (rng.rand(4, 16, 16) > 0.5).astype(np.uint8)
+    x2, y2 = augment_batch_host(
+        x, y, {"do_rotations": True, "nlabels": 2,
+               "augment_every_nth": 10_000_000}, rng)
+    np.testing.assert_allclose(x2, x)
+    np.testing.assert_array_equal(y2, y)
+
+
+# --- provider resize_to / concurrency -----------------------------------------
+
+
+def test_resize_to_option():
+    """Provider resize_to produces exact target shapes, labels stay discrete
+    (ref batch_provider.py:35,101-103)."""
+    bp, _, _ = make_provider(n=10, resize_to=(16, 16))
+    xb, yb = bp.next_batch(4)
+    assert xb.shape == (4, 16, 16, 1)
+    assert yb.shape == (4, 16, 16)
+    assert set(np.unique(yb)) <= {0, 1}
+    # downscale too
+    bp2, _, _ = make_provider(n=10, resize_to=(4, 4))
+    xb2, yb2 = bp2.next_batch(4)
+    assert xb2.shape == (4, 4, 4, 1) and yb2.shape == (4, 4, 4)
+
+
+def test_resize_batch_nearest_exact():
+    from phiseg_tpu.data.batch_provider import resize_batch
+
+    x = np.arange(4, dtype=np.float32).reshape(1, 2, 2, 1)
+    out = resize_batch(x, (4, 4))
+    assert out.shape == (1, 4, 4, 1)
+    # nearest-neighbour: each source pixel becomes a 2x2 block
+    assert set(np.unique(out)) == {0.0, 1.0, 2.0, 3.0}
+    for v in range(4):
+        assert (out == v).sum() == 4
+
+
+def test_provider_concurrent_iterate_and_next_batch():
+    """iterate_batches must be safe against the trainer's prefetch thread
+    calling next_batch concurrently (round-1 race: in-place shuffle of
+    self.indices without the lock)."""
+    import threading
+
+    bp, _, _ = make_provider(n=50)
+    errors = []
+    stop = threading.Event()
+
+    def prefetch():
+        try:
+            while not stop.is_set():
+                xb, yb = bp.next_batch(4)
+                assert xb.shape[0] == 4
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    t = threading.Thread(target=prefetch)
+    t.start()
+    try:
+        for _ in range(20):
+            count = sum(xb.shape[0] for xb, _ in bp.iterate_batches(7))
+            assert count == 50
+    finally:
+        stop.set()
+        t.join()
+    assert not errors
+    # iteration never mutates the canonical index list
+    np.testing.assert_array_equal(np.sort(bp.indices), np.arange(50))
+
+
+# --- LIDC pickle -> HDF5 pipeline ----------------------------------------------
+
+
+def _write_fake_lidc_pickle(path, n_patients=6, lesions_per_patient=3, hw=16):
+    """Stefan-Knegt-shaped pickle: {id: {'image','masks','series_uid'}}."""
+    import pickle
+
+    rng = np.random.RandomState(0)
+    data = {}
+    k = 0
+    for p in range(n_patients):
+        for _ in range(lesions_per_patient):
+            data[k] = {
+                "image": rng.rand(hw, hw).astype(np.float64),
+                "masks": [
+                    (rng.rand(hw, hw) > 0.7).astype(np.uint8) for _ in range(4)
+                ],
+                "series_uid": f"1.2.840.{p:04d}",
+            }
+            k += 1
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    return data
+
+
+def test_prepare_data_pipeline(tmp_path):
+    """Fake pickle -> prepare_data -> HDF5 contract (ref lidc_data_loader.py:46-106):
+    group shapes, float-0.5 images, (H,W,4) uint8 masks, patient-level split."""
+    import h5py
+
+    from phiseg_tpu.data.lidc import prepare_data
+
+    pkl = str(tmp_path / "data_lidc.pickle")
+    h5 = str(tmp_path / "data_lidc.hdf5")
+    raw = _write_fake_lidc_pickle(pkl)
+    prepare_data(pkl, h5)
+
+    with h5py.File(h5, "r") as f:
+        total = 0
+        uid_sets = {}
+        for tt in ("train", "val", "test"):
+            imgs = f[tt]["images"][:]
+            lbls = f[tt]["labels"][:]
+            uids = f[tt]["uids"][:]
+            assert imgs.shape[1:] == (16, 16) and imgs.dtype == np.float64
+            assert lbls.shape[1:] == (16, 16, 4) and lbls.dtype == np.uint8
+            assert uids.shape[0] == imgs.shape[0]
+            total += imgs.shape[0]
+            uid_sets[tt] = set(int(u) for u in uids)
+        assert total == len(raw)
+        # patient-level no-leak: uid sets pairwise disjoint
+        assert not (uid_sets["train"] & uid_sets["val"])
+        assert not (uid_sets["train"] & uid_sets["test"])
+        assert not (uid_sets["val"] & uid_sets["test"])
+        # every patient's lesions land together: 6 patients x 3 lesions
+        all_uids = sorted(u for s in uid_sets.values() for u in s)
+        assert len(all_uids) == 6
+        # images carry the -0.5 offset (ref :92)
+        mn = min(f[tt]["images"][:].min() for tt in ("train", "val", "test"))
+        mx = max(f[tt]["images"][:].max() for tt in ("train", "val", "test"))
+        assert -0.5 <= mn and mx <= 0.5
+
+
+def test_prepare_data_split_deterministic(tmp_path):
+    """Seeded split: two runs produce identical grouping (documented
+    deviation from the reference's unseeded sklearn split)."""
+    import h5py
+
+    from phiseg_tpu.data.lidc import prepare_data
+
+    pkl = str(tmp_path / "p.pickle")
+    _write_fake_lidc_pickle(pkl)
+    a, b = str(tmp_path / "a.hdf5"), str(tmp_path / "b.hdf5")
+    prepare_data(pkl, a)
+    prepare_data(pkl, b)
+    with h5py.File(a, "r") as fa, h5py.File(b, "r") as fb:
+        for tt in ("train", "val", "test"):
+            np.testing.assert_array_equal(fa[tt]["uids"][:], fb[tt]["uids"][:])
+            np.testing.assert_array_equal(fa[tt]["images"][:], fb[tt]["images"][:])
+
+
+def test_lidc_data_end_to_end(tmp_path):
+    """LIDCData: cache-or-rebuild + providers with annotator pick
+    (ref lidc_data.py:8-52, lidc_data_loader.py:109-135)."""
+    from phiseg_tpu.data.lidc import LIDCData
+
+    pkl = str(tmp_path / "data_lidc.pickle")
+    _write_fake_lidc_pickle(pkl, n_patients=8, lesions_per_patient=2)
+    cfg = small_cfg(num_labels_per_subject=4, annotator_range=(0, 1, 2, 3))
+    d = LIDCData(cfg, data_root=pkl, preproc_folder=str(tmp_path / "pre"))
+    xb, yb = d.train.next_batch(3)
+    assert xb.shape == (3, 16, 16, 1) and xb.dtype == np.float32
+    assert yb.shape == (3, 16, 16) and yb.dtype == np.int32
+    # raw eval arrays exposed on val/test (ref lidc_data.py:48-52)
+    assert d.test.labels.ndim == 4 and d.test.labels.shape[-1] == 4
+    # second construction hits the HDF5 cache (no re-preprocess)
+    import os
+
+    h5path = str(tmp_path / "pre" / "data_lidc.hdf5")
+    mtime = os.path.getmtime(h5path)
+    d2 = LIDCData(cfg, data_root=pkl, preproc_folder=str(tmp_path / "pre"))
+    assert os.path.getmtime(h5path) == mtime
+    xb2, _ = d2.test.next_batch(2)
+    assert xb2.shape == (2, 16, 16, 1)
