@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 from flax import serialization
 
-TAGS = ("latest", "best_loss", "best_dice", "best_ged", "best_ncc")
+TAGS = ("latest", "best_loss", "best_dice", "best_ged", "best_ncc", "archive")
 
 _TAG_PREFIX = {
     "latest": "model.ckpt",
@@ -31,15 +31,30 @@ _TAG_PREFIX = {
     "best_dice": "model_best_dice.ckpt",
     "best_ged": "model_best_ged.ckpt",
     "best_ncc": "model_best_ncc.ckpt",
+    "archive": "model_archive.ckpt",
 }
 
 
 class CheckpointManager:
-    def __init__(self, log_dir: str, keep: int = 2, keep_latest: int = 1):
+    def __init__(self, log_dir: str, keep: int = 2, keep_latest: int = 1,
+                 archive_every_hours: float | None = 3.0):
+        """archive_every_hours: time-based archival saves that are NEVER
+        pruned, so a long run keeps periodic forensic history (the
+        reference's keep_checkpoint_every_n_hours=3, phiseg_model.py:144).
+        None disables."""
+        import time
+
         self.log_dir = log_dir
         self.keep = keep
         self.keep_latest = keep_latest
+        self.archive_every_hours = archive_every_hours
         os.makedirs(log_dir, exist_ok=True)
+        # Resume-aware: the clock starts at the newest existing archive.
+        mtimes = [
+            os.path.getmtime(p)
+            for p in glob.glob(os.path.join(self.log_dir, "model_archive.ckpt-*.msgpack"))
+        ]
+        self._last_archive_time = max(mtimes) if mtimes else time.time()
 
     # -- paths ---------------------------------------------------------------
 
@@ -78,13 +93,27 @@ class CheckpointManager:
             f.write(data)
         os.replace(tmp, path)  # atomic publish
 
-        keep = self.keep_latest if tag == "latest" else self.keep
-        for old in self._list_steps(tag)[:-keep]:
-            try:
-                os.remove(self._path(tag, old))
-            except OSError:
-                pass
+        if tag != "archive":  # archives are permanent
+            keep = self.keep_latest if tag == "latest" else self.keep
+            for old in self._list_steps(tag)[:-keep]:
+                try:
+                    os.remove(self._path(tag, old))
+                except OSError:
+                    pass
         return path
+
+    def maybe_archive(self, state) -> Optional[str]:
+        """Save an unpruned archive checkpoint if archive_every_hours has
+        elapsed since the last one. Returns the path or None."""
+        import time
+
+        if self.archive_every_hours is None:
+            return None
+        now = time.time()
+        if now - self._last_archive_time < self.archive_every_hours * 3600.0:
+            return None
+        self._last_archive_time = now
+        return self.save(state, "archive")
 
     def restore(self, template_state, tag: str = "latest",
                 step: Optional[int] = None):

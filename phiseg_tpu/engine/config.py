@@ -90,8 +90,14 @@ class ExperimentConfig:
 
     # -- monitoring (ref phiseg_7_5.py:51-56)
     do_image_summaries: bool = True
+    # Weight/activation histograms + per-level diagnostics each validation
+    # (ref auto-attaches tf.summary.histogram per layer, layers.py:671-677).
+    do_histogram_summaries: bool = True
     validation_frequency: int = 500
     validation_samples: int = 16
+    # Posterior draws per image for the validation ELBO; the reference tiles
+    # each image x16 and evaluates loss_tot over the tiled batch (:577-585).
+    validation_elbo_samples: int = 16
     num_validation_images: int = 100
     tensorboard_update_frequency: int = 100
 
@@ -101,6 +107,9 @@ class ExperimentConfig:
     use_fused_loss_kernel: Optional[bool] = None
     seed: int = 42
     checkpoint_keep: int = 2
+    # Unpruned time-based archive saves (ref keep_checkpoint_every_n_hours=3,
+    # phiseg_model.py:144). None disables.
+    archive_every_hours: Optional[float] = 3.0
     mesh_data_axis: Optional[int] = None  # None -> all local devices
 
     # ------------------------------------------------------------------

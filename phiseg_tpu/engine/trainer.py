@@ -76,6 +76,15 @@ class _Prefetcher:
             pass
 
 
+def _lr_at(schedule, step: int) -> float:
+    """Largest-key-<=-step lookup (ref utils.py:70-84 find_floor_in_list)."""
+    val = None
+    for k in sorted(schedule):
+        if step >= k or val is None:
+            val = schedule[k]
+    return float(val)
+
+
 class Trainer:
     def __init__(
         self,
@@ -102,7 +111,10 @@ class Trainer:
 
         rng = jax.random.PRNGKey(cfg.seed)
         self.state = create_train_state(self.model, cfg, rng, self.tx)
-        self.ckpt = CheckpointManager(self.log_dir, keep=cfg.checkpoint_keep)
+        self.ckpt = CheckpointManager(
+            self.log_dir, keep=cfg.checkpoint_keep,
+            archive_every_hours=cfg.archive_every_hours,
+        )
         self.init_step = 0
         if resume and self.ckpt.has_checkpoint("latest"):
             self.state, _ = self.ckpt.restore(self.state, "latest")
@@ -183,6 +195,8 @@ class Trainer:
                     )
                     scalars = {f"batch_{k}": float(v) for k, v in loss_dict.items()}
                     scalars["images_per_sec"] = ips
+                    # lr schedule lookup (ref logs learning_rate, :720)
+                    scalars["learning_rate"] = _lr_at(cfg.lr_schedule, step)
                     self.writer.scalars(scalars, step)
                     self.writer.flush()
                     write_metrics_jsonl(self.metrics_path, step, scalars)
@@ -212,6 +226,7 @@ class Trainer:
         # then serialise from host memory instead of re-transferring.
         host_state = jax.device_get(self.state)
         self.ckpt.save(host_state, "latest")  # filename label = state.step
+        self.ckpt.maybe_archive(host_state)  # every-N-hours forensic history
 
         rng = jax.random.PRNGKey(cfg.seed + 2 + step)
         variables = self.state.variables
@@ -294,20 +309,61 @@ class Trainer:
             scalars[f"train_batch_{k}"] = float(v)
         self.writer.scalars(scalars, step)
 
-        # image summaries (ref _make_tensorboard_summaries :728-776)
+        # per-level diagnostics + image summaries + histograms
+        # (ref _make_tensorboard_summaries :704-776, layers.py:671-677)
+        if cfg.do_image_summaries or cfg.do_histogram_summaries:
+            if not hasattr(self, "_diag_fn"):
+                from phiseg_tpu.utils.diagnostics import make_diag_fn, make_param_hist_fn
+
+                self._diag_fn = make_diag_fn(
+                    self.model, cfg, histograms=cfg.do_histogram_summaries
+                )
+                self._param_hist_fn = make_param_hist_fn()
+
+            # train-batch diagnostics: mu/sigma means, train_* grids and the
+            # weight/activation histograms all come from the train feed, like
+            # the reference's merged train summary (:719-736).
+            t_scalars, t_grids, t_hists = jax.device_get(
+                self._diag_fn(variables, jnp.asarray(tx_), jnp.asarray(ts_), rng)
+            )
+            self.writer.scalars({k: float(v) for k, v in t_scalars.items()}, step)
+            scalars.update({k: float(v) for k, v in t_scalars.items()})
+
         if cfg.do_image_summaries:
             from phiseg_tpu.engine.train import make_sample_fn
-            from phiseg_tpu.utils.image_grid import batch_to_grid
+            from phiseg_tpu.utils.image_grid import batch_to_grid, kernels_to_grid
 
             if not hasattr(self, "_img_sampler"):
                 self._img_sampler = make_sample_fn(self.model, 1)
             probs = self._img_sampler(variables, jnp.asarray(vx), rng)
             gen_seg = np.asarray(jnp.argmax(probs[0], axis=-1))
+            v_scalars_, v_grids, _ = jax.device_get(
+                self._diag_fn(variables, jnp.asarray(vx), jnp.asarray(vs), rng)
+            )
+            del v_scalars_
+            lm = lambda a: batch_to_grid(a, "labelmap", cfg.nlabels)  # noqa: E731
+            self.writer.image("train_x_inp", batch_to_grid(np.asarray(tx_), "standardize"), step)
+            self.writer.image("train_s_inp", lm(np.asarray(ts_)), step)
             self.writer.image("val_x_inp", batch_to_grid(np.asarray(vx), "standardize"), step)
-            self.writer.image("val_s_inp",
-                              batch_to_grid(np.asarray(vs), "labelmap", cfg.nlabels), step)
-            self.writer.image("generated_seg",
-                              batch_to_grid(gen_seg, "labelmap", cfg.nlabels), step)
+            self.writer.image("val_s_inp", lm(np.asarray(vs)), step)
+            self.writer.image("generated_seg", lm(gen_seg), step)
+            self.writer.image("generated_x_in", batch_to_grid(np.asarray(vx), "standardize"), step)
+            for prefix, grids in (("train", t_grids), ("val", v_grids)):
+                for name, g in grids.items():
+                    self.writer.image(f"{prefix}_{name}", lm(g), step)
+            # first-layer kernel grid (ref put_kernels_on_grid viz)
+            from phiseg_tpu.utils.diagnostics import first_conv_kernel
+
+            kname, kernel = first_conv_kernel(host_state.params)
+            if kernel is not None:
+                self.writer.image(f"kernels/{kname}", kernels_to_grid(kernel), step)
+
+        if cfg.do_histogram_summaries:
+            for name, h in t_hists.items():
+                self.writer.histogram_summary(name, h, step)
+            w_hists = jax.device_get(self._param_hist_fn(self.state.params))
+            for name, h in w_hists.items():
+                self.writer.histogram_summary(name, h, step)
 
         self.writer.flush()
         write_metrics_jsonl(self.metrics_path, step, scalars)

@@ -81,11 +81,19 @@ def make_validation_fn(model: SegVAE, cfg: ExperimentConfig):
         gt_oh = one_hot(s_annotators, nlabels)  # (B,M,H,W,C)
         sncc_b = jax.vmap(variance_ncc_dist)(probs_b, gt_oh)
 
-        # per-batch eval-mode ELBO (ref tiles one image 16x and runs loss_tot
-        # :577-585; here: one posterior draw per image, same expectation)
+        # per-batch eval-mode ELBO. The reference tiles each image 16x and
+        # evaluates loss_tot over the tiled batch (:577-585) -- i.e. the ELBO
+        # estimate averages 16 posterior draws per image. Here the same
+        # protocol is a vmap over 16 RNG keys (validation_elbo_samples).
         s_oh = one_hot(s_selected, nlabels)
-        outputs = model.apply(variables, x, s_oh, rng, train=False)
-        elbo, _ = phiseg_objective(outputs, s_oh, cfg, params=variables["params"])
+
+        def elbo_draw(k):
+            outputs = model.apply(variables, x, s_oh, k, train=False)
+            e, _ = phiseg_objective(outputs, s_oh, cfg, params=variables["params"])
+            return e
+
+        elbo_keys = jax.random.split(rng, cfg.validation_elbo_samples)
+        elbo = jnp.mean(jax.vmap(elbo_draw)(elbo_keys))
 
         return dice_b, ged_b, sncc_b, elbo
 

@@ -39,3 +39,17 @@ def batch_to_grid(batch: np.ndarray, rescale_mode: str = "standardize",
         r, c = divmod(i, cols)
         grid[r * (h + pad):r * (h + pad) + h, c * (w + pad):c * (w + pad) + w] = batch[i]
     return (np.clip(grid, 0, 1) * 255).astype(np.uint8)
+
+
+def kernels_to_grid(kernel: np.ndarray, upscale: int = 8) -> np.ndarray:
+    """(kh, kw, cin, cout) conv kernel -> uint8 grid, one tile per output
+    channel averaged over input channels, nearest-upscaled for visibility
+    (the kernel-viz use of the reference's put_kernels_on_grid,
+    tfwrapper/utils.py:93-168)."""
+    k = np.asarray(kernel, dtype=np.float32)
+    if k.ndim != 4:
+        raise ValueError(f"expected 4-D conv kernel, got shape {k.shape}")
+    tiles = np.transpose(k.mean(axis=2), (2, 0, 1))  # (cout, kh, kw)
+    if upscale > 1:
+        tiles = np.repeat(np.repeat(tiles, upscale, axis=1), upscale, axis=2)
+    return batch_to_grid(tiles, "standardize")

@@ -137,6 +137,53 @@ class SummaryWriter:
             except (TypeError, ValueError):
                 pass
 
+    def histogram(self, tag: str, values: np.ndarray, step: int,
+                  bins: int = 30) -> None:
+        """Histogram summary from raw values (ref tfwrapper/layers.py:671-677
+        attaches tf.summary.histogram to every layer's weights/activations)."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return
+        counts, edges = np.histogram(v, bins=bins)
+        self.histogram_summary(
+            tag,
+            {
+                "min": float(v.min()),
+                "max": float(v.max()),
+                "num": float(v.size),
+                "sum": float(v.sum()),
+                "sum_squares": float(np.square(v).sum()),
+                "bucket_limits": edges[1:],
+                "bucket_counts": counts,
+            },
+            step,
+        )
+
+    def histogram_summary(self, tag: str, stats: dict, step: int) -> None:
+        """Histogram summary from precomputed stats (device-side reduction).
+
+        stats keys: min, max, num, sum, sum_squares (floats),
+        bucket_limits (right edges), bucket_counts (same length).
+
+        HistogramProto: 1 min, 2 max, 3 num, 4 sum, 5 sum_squares,
+        6 repeated double bucket_limit (packed), 7 repeated double bucket
+        (packed). Summary.Value carries it in field 5.
+        """
+        limits = np.asarray(stats["bucket_limits"], dtype=np.float64)
+        counts = np.asarray(stats["bucket_counts"], dtype=np.float64)
+        histo = (
+            _field_double(1, float(stats["min"]))
+            + _field_double(2, float(stats["max"]))
+            + _field_double(3, float(stats["num"]))
+            + _field_double(4, float(stats["sum"]))
+            + _field_double(5, float(stats["sum_squares"]))
+            + _field_bytes(6, limits.astype("<f8").tobytes())
+            + _field_bytes(7, counts.astype("<f8").tobytes())
+        )
+        val = _field_bytes(1, tag.encode()) + _field_bytes(5, histo)
+        self._write_record(_event(step=int(step), summary=_field_bytes(1, val)))
+
     def image(self, tag: str, img: np.ndarray, step: int) -> None:
         """img: HxW or HxWxC uint8 (or float in [0,1], auto-converted)."""
         img = np.asarray(img)

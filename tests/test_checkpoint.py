@@ -55,6 +55,33 @@ def test_retention_policy(tmp_path, state_and_cfg):
     assert mgr._list_steps("latest") == [3]
 
 
+def test_archive_checkpoints_time_based(tmp_path, state_and_cfg):
+    """Every-N-hours archive saves, never pruned (ref
+    keep_checkpoint_every_n_hours=3, phiseg_model.py:144)."""
+    state, *_ = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path), keep=1, archive_every_hours=1.0)
+    # interval not elapsed -> no archive
+    assert mgr.maybe_archive(state) is None
+    # force the clock back past the interval
+    mgr._last_archive_time -= 3601.0
+    p = mgr.maybe_archive(state)
+    assert p is not None and os.path.exists(p)
+    # immediately after: interval restarts
+    assert mgr.maybe_archive(state) is None
+    # archives are exempt from pruning even with keep=1
+    mgr._last_archive_time -= 3601.0
+    state2 = state.replace(step=state.step + 7)
+    mgr.maybe_archive(state2)
+    assert len(mgr._list_steps("archive")) == 2
+    # disabled manager never archives
+    off = CheckpointManager(str(tmp_path / "off"), archive_every_hours=None)
+    off._last_archive_time = 0.0
+    assert off.maybe_archive(state) is None
+    # a resumed manager starts its clock at the newest archive file
+    mgr2 = CheckpointManager(str(tmp_path), archive_every_hours=1.0)
+    assert mgr2.maybe_archive(state) is None
+
+
 def test_latest_step_and_missing(tmp_path, state_and_cfg):
     state, cfg, model, tx = state_and_cfg
     mgr = CheckpointManager(str(tmp_path))

@@ -112,6 +112,62 @@ def test_image_summary(tmp_path):
     assert image_msg[4][0][:8] == b"\x89PNG\r\n\x1a\n"  # PNG magic
 
 
+def test_histogram_roundtrip(tmp_path):
+    """HistogramProto wire format: min/max/num/sum/sum_squares + packed
+    bucket_limit/bucket fields parse back exactly."""
+    w = SummaryWriter(str(tmp_path))
+    vals = np.arange(100, dtype=np.float64)
+    w.histogram("weights/conv1", vals, step=5, bins=10)
+    w.flush()
+
+    records = _read_records(w.path)
+    ev = _parse_proto_fields(records[1])
+    assert ev[2][0] == 5
+    summary = _parse_proto_fields(ev[5][0])
+    value = _parse_proto_fields(summary[1][0])
+    assert value[1][0] == b"weights/conv1"
+    histo = _parse_proto_fields(value[5][0])
+    np.testing.assert_allclose(histo[1][0], 0.0)     # min
+    np.testing.assert_allclose(histo[2][0], 99.0)    # max
+    np.testing.assert_allclose(histo[3][0], 100.0)   # num
+    np.testing.assert_allclose(histo[4][0], vals.sum())
+    np.testing.assert_allclose(histo[5][0], np.square(vals).sum())
+    limits = np.frombuffer(histo[6][0], "<f8")
+    counts = np.frombuffer(histo[7][0], "<f8")
+    assert limits.shape == (10,) and counts.shape == (10,)
+    assert counts.sum() == 100
+
+
+def test_histogram_summary_from_device_stats(tmp_path):
+    """Precomputed device-side stats (phiseg_tpu.utils.diagnostics) write a
+    parseable histogram record."""
+    import jax.numpy as jnp
+
+    from phiseg_tpu.utils.diagnostics import tensor_histogram
+
+    stats = {k: np.asarray(v) for k, v in
+             tensor_histogram(jnp.linspace(-1.0, 1.0, 64)).items()}
+    w = SummaryWriter(str(tmp_path))
+    w.histogram_summary("activations/relu", stats, step=2)
+    w.flush()
+    records = _read_records(w.path)
+    value = _parse_proto_fields(_parse_proto_fields(
+        _parse_proto_fields(records[1])[5][0])[1][0])
+    histo = _parse_proto_fields(value[5][0])
+    np.testing.assert_allclose(histo[1][0], -1.0, atol=1e-6)
+    np.testing.assert_allclose(histo[2][0], 1.0, atol=1e-6)
+    counts = np.frombuffer(histo[7][0], "<f8")
+    assert counts.sum() == 64
+
+
+def test_histogram_skips_empty_and_nonfinite(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.histogram("empty", np.array([]), step=0)
+    w.histogram("nans", np.array([np.nan, np.inf]), step=0)
+    w.flush()
+    assert len(_read_records(w.path)) == 1  # only the file_version record
+
+
 def test_scalars_skips_non_numeric(tmp_path):
     w = SummaryWriter(str(tmp_path))
     w.scalars({"a": 1.0, "b": "not-a-number"}, step=0)

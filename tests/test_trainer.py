@@ -73,6 +73,65 @@ def test_trainer_validation_metrics_sane(cfg):
     assert np.isfinite(scalars["validation_neg_elbo"])
 
 
+def test_trainer_validation_diagnostics_written(cfg):
+    """Validation writes the reference's monitoring surface: per-level
+    mu/sigma scalars (ref :719-726), per-level output grids (:728-736),
+    weight/activation histograms (layers.py:671-677), kernel grid."""
+    from test_tb_writer import _parse_proto_fields, _read_records
+
+    data = get_dataset(cfg, n_train=16, n_val=4, n_test=4)
+    trainer = Trainer(cfg)
+    scalars = trainer.do_validation(data, step=0)
+    for i in range(cfg.latent_levels):
+        assert f"average_mu_lvl{i}" in scalars
+        assert f"average_prior_sigma_lvl{i}" in scalars
+    assert "learning_rate" not in scalars  # train-loop-only scalar
+
+    trainer.writer.flush()
+    tags_hist, tags_img, tags_scalar = set(), set(), set()
+    for rec in _read_records(trainer.writer.path):
+        ev = _parse_proto_fields(rec)
+        if 5 not in ev:
+            continue
+        summary = _parse_proto_fields(ev[5][0])
+        for raw in summary.get(1, []):
+            val = _parse_proto_fields(raw)
+            tag = val[1][0].decode()
+            if 5 in val:
+                tags_hist.add(tag)
+            elif 4 in val:
+                tags_img.add(tag)
+            else:
+                tags_scalar.add(tag)
+    assert any(t.startswith("weights/") and "kernel" in t for t in tags_hist)
+    assert any(t.startswith("activations/") for t in tags_hist)
+    for i in range(cfg.latent_levels):
+        assert f"val_s_out_list_{i}" in tags_img
+        assert f"val_s_accum_list_{i}" in tags_img
+        assert f"train_s_out_list_{i}" in tags_img
+    for t in ("train_x_inp", "train_s_inp", "val_x_inp", "val_s_inp",
+              "val_s_out", "train_s_out", "generated_seg", "generated_x_in"):
+        assert t in tags_img, t
+    assert any(t.startswith("kernels/") for t in tags_img)
+    assert "average_mu_lvl0" in tags_scalar
+
+
+def test_trainer_histograms_can_be_disabled(cfg):
+    from test_tb_writer import _parse_proto_fields, _read_records
+
+    data = get_dataset(cfg, n_train=16, n_val=4, n_test=4)
+    trainer = Trainer(cfg.replace(do_histogram_summaries=False,
+                                  experiment_name="nohist"))
+    trainer.do_validation(data, step=0)
+    trainer.writer.flush()
+    for rec in _read_records(trainer.writer.path):
+        ev = _parse_proto_fields(rec)
+        if 5 not in ev:
+            continue
+        for raw in _parse_proto_fields(ev[5][0]).get(1, []):
+            assert 5 not in _parse_proto_fields(raw)  # no histogram values
+
+
 def test_trainer_no_resume_flag(cfg):
     data = get_dataset(cfg, n_train=16, n_val=4, n_test=4)
     t1 = Trainer(cfg)
