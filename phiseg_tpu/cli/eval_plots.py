@@ -55,7 +55,7 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(1.5 * len(arrays) + 1, 4))
-        ax.boxplot(arrays, labels=names)
+        ax.boxplot(arrays, tick_labels=names)
         ax.set_ylabel(metric)
         fig.savefig(plot, dpi=150, bbox_inches="tight")
         plt.close(fig)

@@ -27,7 +27,7 @@ log = logging.getLogger(__name__)
 
 
 def evaluate(log_dir: str, num_samples: int = 100, tag: str = "best_dice",
-             batch: int = 8, max_images: int | None = None):
+             batch: int = 8, max_images: int | None = None, mesh: bool = False):
     from phiseg_tpu.data import get_dataset
     from phiseg_tpu.engine.loading import load_experiment
     from phiseg_tpu.engine.train import make_sample_fn
@@ -38,7 +38,13 @@ def evaluate(log_dir: str, num_samples: int = 100, tag: str = "best_dice",
     if cfg.model_family == "det_unet":
         num_samples = 1  # deterministic net: one draw (ref :40)
     data = get_dataset(cfg)
-    sampler = make_sample_fn(model, num_samples)
+    device_mesh = None
+    if mesh and num_samples > 1:
+        from phiseg_tpu.parallel import make_mesh
+
+        device_mesh = make_mesh()
+        log.info("sample-parallel eval over %d devices", device_mesh.size)
+    sampler = make_sample_fn(model, num_samples, mesh=device_mesh)
     variables = state.variables
 
     @jax.jit
@@ -88,8 +94,10 @@ def main(argv=None):
     p.add_argument("--tag", default="best_dice")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the sample axis over all local devices")
     a = p.parse_args(argv)
-    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images)
+    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images, mesh=a.mesh)
 
 
 if __name__ == "__main__":

@@ -30,17 +30,23 @@ log = logging.getLogger(__name__)
 
 
 def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
-             batch: int = 8, max_images: int | None = None):
+             batch: int = 8, max_images: int | None = None, mesh: bool = False):
     from phiseg_tpu.data import get_dataset
     from phiseg_tpu.engine.loading import load_experiment
-    from phiseg_tpu.engine.validation import make_validation_fn
+    from phiseg_tpu.engine.validation import make_quant_eval_fn
 
     cfg, model, state, step = load_experiment(log_dir, tag)
     log.info("restored %s @ step %d", tag, step)
     data = get_dataset(cfg)
 
-    # reuse the jitted validation program with the eval sample count
-    vfn = make_validation_fn(model, cfg.replace(validation_samples=num_samples))
+    device_mesh = None
+    if mesh:
+        from phiseg_tpu.parallel import make_mesh
+
+        device_mesh = make_mesh()
+        log.info("sample-parallel eval over %d devices", device_mesh.size)
+    # dedicated GED/NCC program (no wasted Dice/ELBO computation)
+    vfn = make_quant_eval_fn(model, cfg, num_samples, mesh=device_mesh)
     variables = state.variables
 
     images = data.test.images
@@ -57,10 +63,9 @@ def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
         n_real = b1 - b0
         x = np.asarray(images[b0:b1]).astype(np.float32)[..., None]
         ann = np.transpose(np.asarray(labels[b0:b1]).astype(np.int32), (0, 3, 1, 2))
-        s_sel = ann[:, 0]  # dice output unused here
-        x, ann, s_sel = (pad_to_batch(a, batch) for a in (x, ann, s_sel))
-        _, g, nc, _ = vfn(variables, jnp.asarray(x), jnp.asarray(ann),
-                          jnp.asarray(s_sel), jax.random.fold_in(rng, b0))
+        x, ann = (pad_to_batch(a, batch) for a in (x, ann))
+        g, nc = vfn(variables, jnp.asarray(x), jnp.asarray(ann),
+                    jax.random.fold_in(rng, b0))
         ged_list.extend(np.asarray(g)[:n_real].tolist())
         ncc_list.extend(np.asarray(nc)[:n_real].tolist())
         log.info("%d/%d images (%.2f s/img)", b1, n, (time.time() - t0) / b1)
@@ -84,8 +89,10 @@ def main(argv=None):
     p.add_argument("--tag", default="best_ged")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the sample axis over all local devices")
     a = p.parse_args(argv)
-    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images)
+    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images, mesh=a.mesh)
 
 
 if __name__ == "__main__":

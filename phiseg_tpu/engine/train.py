@@ -164,6 +164,8 @@ def make_train_step(
         x, s = aug_jit(x, s, aug_rng)
         return jitted(state, x, s, rng)
 
+    # expose the underlying jitted step for AOT lowering / cost analysis
+    step_with_aug.jitted = jitted
     return step_with_aug
 
 
@@ -180,18 +182,27 @@ def make_eval_loss_fn(model: SegVAE, cfg: ExperimentConfig):
     return eval_loss
 
 
-def make_sample_fn(model: SegVAE, num_samples: int, return_probs: bool = True):
+def make_sample_fn(model: SegVAE, num_samples: int, return_probs: bool = True,
+                   mesh=None):
     """N-sample prior inference: encode x ONCE, vmap the z-draw + decode tail.
 
     Replaces the reference's batch-tiling / sess.run loops
     (phiseg_model.py:337-353, :577-585, phiseg_test_quantitative.py:47-54).
-    Returns (S, B, H, W, C) softmax probabilities (or logits).
+    Returns (S, B, H, W, C) softmax probabilities (or logits). With a mesh,
+    the sample axis is sharded across devices (encoder cache replicated).
     """
+    key_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        key_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
 
     @jax.jit
     def sample(variables, x, rng):
         cache = model.apply(variables, x, method="sample_cache")
         keys = jax.random.split(rng, num_samples)
+        if key_sharding is not None:
+            keys = jax.lax.with_sharding_constraint(keys, key_sharding)
 
         def draw(k):
             logits = aggregate_levels(

@@ -151,9 +151,11 @@ class Trainer:
     def _shard_batch(self, x, s):
         if self.mesh is None:
             return jnp.asarray(x), jnp.asarray(s)
-        from phiseg_tpu.parallel import shard_array
+        # Multi-host aware: each process contributes its local slice of the
+        # global batch (delegates to a plain device_put when single-host).
+        from phiseg_tpu.parallel import shard_host_batch
 
-        return shard_array(x, self.mesh), shard_array(s, self.mesh)
+        return shard_host_batch(x, self.mesh), shard_host_batch(s, self.mesh)
 
     def train(self, data, num_iter: Optional[int] = None):
         cfg = self.cfg

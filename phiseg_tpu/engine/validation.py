@@ -41,6 +41,52 @@ def pad_to_batch(arr, batch: int):
     return arr[reps]
 
 
+def make_quant_eval_fn(model: SegVAE, cfg: ExperimentConfig, num_samples: int,
+                       mesh=None):
+    """Jitted fn(variables, x, s_annotators, rng) -> (ged (B,), sncc (B,)).
+
+    The quantitative-eval workload (ref phiseg_test_quantitative.py:39-66)
+    without the Dice/ELBO terms the validation program also computes. With a
+    mesh, the SAMPLE axis is sharded across devices (each chip decodes its
+    share of draws from the replicated encoder cache; GSPMD inserts the
+    cross-shard collectives for the pairwise-IoU reductions).
+    """
+    nlabels = cfg.nlabels
+    label_range = tuple(range(1, nlabels))
+    key_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        key_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    @jax.jit
+    def quant(variables, x, s_annotators, rng):
+        cache = model.apply(variables, x, method="sample_cache")
+        keys = jax.random.split(rng, num_samples)
+        if key_sharding is not None:
+            keys = jax.lax.with_sharding_constraint(keys, key_sharding)
+
+        def draw(k):
+            return jax.nn.softmax(
+                aggregate_levels(model.apply(variables, cache, k, method="decode_sample")),
+                axis=-1,
+            )
+
+        probs = jax.vmap(draw)(keys)  # (S,B,H,W,C)
+        probs_b = jnp.moveaxis(probs, 0, 1)
+        masks_b = jnp.argmax(probs_b, axis=-1)
+        ged_b = jax.vmap(
+            lambda sm, gt: generalised_energy_distance(
+                sm, gt, nlabels=nlabels - 1, label_range=label_range
+            )
+        )(masks_b, s_annotators)
+        gt_oh = one_hot(s_annotators, nlabels)
+        sncc_b = jax.vmap(variance_ncc_dist)(probs_b, gt_oh)
+        return ged_b, sncc_b
+
+    return quant
+
+
 def make_validation_fn(model: SegVAE, cfg: ExperimentConfig):
     """Returns jitted fn(variables, x, s_annotators, s_selected, rng) ->
     (dice (B, nlabels), ged (B,), sncc (B,), elbo scalar).

@@ -61,6 +61,29 @@ def test_quantitative_cli(trained_logdir):
     assert os.path.exists(os.path.join(trained_logdir, "ncc4_best_ged.npz"))
 
 
+def test_quantitative_cli_mesh_matches_single_device(trained_logdir):
+    """--mesh (sample axis sharded over the 8-device CPU mesh) produces the
+    same GED/NCC as single-device eval (same keys, same draws)."""
+    from phiseg_tpu.cli.test_quantitative import evaluate
+
+    ged1, ncc1 = evaluate(trained_logdir, num_samples=8, tag="best_ged",
+                          batch=4, max_images=4)
+    gedm, nccm = evaluate(trained_logdir, num_samples=8, tag="best_ged",
+                          batch=4, max_images=4, mesh=True)
+    np.testing.assert_allclose(gedm, ged1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(nccm, ncc1, rtol=1e-4, atol=1e-5)
+
+
+def test_predictions_cli_mesh_matches_single_device(trained_logdir):
+    from phiseg_tpu.cli.test_predictions import evaluate
+
+    d1 = evaluate(trained_logdir, num_samples=8, tag="best_dice",
+                  batch=4, max_images=4)
+    dm = evaluate(trained_logdir, num_samples=8, tag="best_dice",
+                  batch=4, max_images=4, mesh=True)
+    np.testing.assert_allclose(dm, d1, rtol=1e-4, atol=1e-5)
+
+
 def test_predictions_cli(trained_logdir):
     from phiseg_tpu.cli.test_predictions import evaluate
 
