@@ -101,8 +101,11 @@ def make_validation_fn(model: SegVAE, cfg: ExperimentConfig):
 
     @jax.jit
     def validate(variables, x, s_annotators, s_selected, rng):
+        # independent key streams for prior sampling and the ELBO draws
+        # (one split(rng, n) each would alias when the counts match)
+        rng_samples, rng_elbo = jax.random.split(rng)
         cache = model.apply(variables, x, method="sample_cache")
-        keys = jax.random.split(rng, num_samples)
+        keys = jax.random.split(rng_samples, num_samples)
 
         def draw(k):
             return jax.nn.softmax(
@@ -138,7 +141,7 @@ def make_validation_fn(model: SegVAE, cfg: ExperimentConfig):
             e, _ = phiseg_objective(outputs, s_oh, cfg, params=variables["params"])
             return e
 
-        elbo_keys = jax.random.split(rng, cfg.validation_elbo_samples)
+        elbo_keys = jax.random.split(rng_elbo, cfg.validation_elbo_samples)
         elbo = jnp.mean(jax.vmap(elbo_draw)(elbo_keys))
 
         return dice_b, ged_b, sncc_b, elbo

@@ -1,0 +1,210 @@
+"""Perf lab: dissect the train step and the 100-sample sampler on real TPU.
+
+Experiments (each prints one labelled line; run on the real chip):
+  step-variants  -- step-only vs aug-only vs aug+step alternation (the
+                    round-1 mystery: aug costs 0.3 ms alone but the
+                    alternating pair runs ~15 ms slower than step-only),
+                    plus a fused aug-in-step variant for comparison.
+  batch-sweep    -- throughput at batch 12 / 24 / 48 (scaling headroom).
+  sampler        -- single-image 100-sample decode: device time, synced
+                    time, XLA FLOPs and implied MFU.
+
+Usage: python scripts/perf_lab.py [step-variants|batch-sweep|sampler|all]
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+
+def _setup(batch=None, dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phiseg_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from phiseg_tpu.data.augment_device import make_augment_fn
+    from phiseg_tpu.data.synthetic import make_synthetic_arrays
+    from phiseg_tpu.engine import build_model, create_train_state, make_train_step
+    from phiseg_tpu.engine.train import make_optimizer
+    from phiseg_tpu.experiments import get_experiment
+
+    cfg = get_experiment("phiseg_7_5_synth").replace(compute_dtype=dtype)
+    if batch:
+        cfg = cfg.replace(batch_size=batch)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng, tx)
+    x_np, y_np = make_synthetic_arrays(cfg.batch_size, cfg.image_hw,
+                                       cfg.num_labels_per_subject, seed=0)
+    x = jnp.asarray(x_np)[..., None]
+    s = jnp.asarray(y_np[..., 0].astype(np.int32))
+    aug = make_augment_fn(cfg.augmentation_options, cfg.nlabels)
+    return cfg, model, tx, state, x, s, rng, aug
+
+
+def _time_loop(fn, n=30, warmup=3, sync=None):
+    import jax
+
+    out = None
+    for i in range(warmup):
+        out = fn(i)
+    jax.block_until_ready(out if sync is None else sync(out))
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn(warmup + i)
+    jax.block_until_ready(out if sync is None else sync(out))
+    return (time.perf_counter() - t0) * 1000 / n
+
+
+def step_variants():
+    import jax
+
+    from phiseg_tpu.engine.train import make_train_step
+
+    cfg, model, tx, state0, x, s, rng, aug = _setup()
+
+    # (a) step only, no augmentation
+    step_plain = make_train_step(model, cfg, tx, augment_fn=None)
+    st = [state0]
+
+    def run_plain(i):
+        st[0], loss = step_plain(st[0], x, s, jax.random.fold_in(rng, i))
+        return loss["total_loss"]
+
+    ms_plain = _time_loop(run_plain)
+    print(f"step-only            : {ms_plain:7.2f} ms/step")
+
+    # (b) aug only
+    aug_jit = jax.jit(aug)
+
+    def run_aug(i):
+        return aug_jit(x, s, jax.random.fold_in(rng, i))
+
+    ms_aug = _time_loop(run_aug, sync=lambda o: o[0])
+    print(f"aug-only             : {ms_aug:7.2f} ms/step")
+
+    # (c) alternating two programs (round-1 production path)
+    cfg2, model2, tx2, state2, *_ = _setup()
+    step_pair = make_train_step(model2, cfg2, tx2, augment_fn=aug)
+    st2 = [state2]
+
+    def run_pair(i):
+        st2[0], loss = step_pair(st2[0], x, s, jax.random.fold_in(rng, i))
+        return loss["total_loss"]
+
+    ms_pair = _time_loop(run_pair)
+    print(f"aug+step (2 programs): {ms_pair:7.2f} ms/step  (overhead vs sum: "
+          f"{ms_pair - ms_plain - ms_aug:+.2f} ms)")
+
+    # (d) aug fused INTO the step program (round-1 measured this slower)
+    import jax.numpy as jnp
+
+    from phiseg_tpu.engine.train import TrainState, make_optimizer
+    from phiseg_tpu.nn.losses import one_hot
+    from phiseg_tpu.engine.objective import phiseg_objective
+    import optax
+
+    cfg3, model3, tx3, state3, *_ = _setup()
+
+    def fused(state, x_, s_, rng_):
+        rng_, aug_rng = jax.random.split(rng_)
+        xa, sa = aug(x_, s_, aug_rng)
+        s_oh = one_hot(sa, cfg3.nlabels)
+
+        def loss_fn(params, batch_stats):
+            outputs, mutated = model3.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xa, s_oh, rng_, train=True, mutable=["batch_stats"],
+            )
+            loss, loss_dict = phiseg_objective(outputs, s_oh, cfg3,
+                                               params=params, use_fused_ce=True)
+            return loss, (mutated.get("batch_stats", {}), loss_dict)
+
+        (loss, (new_bs, loss_dict)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        updates, new_opt = tx3.update(grads, state.opt_state, state.params)
+        return TrainState(step=state.step + 1,
+                          params=optax.apply_updates(state.params, updates),
+                          batch_stats=new_bs, opt_state=new_opt), loss_dict
+
+    fused_jit = jax.jit(fused, donate_argnums=(0,))
+    st3 = [state3]
+
+    def run_fused(i):
+        st3[0], loss = fused_jit(st3[0], x, s, jax.random.fold_in(rng, i))
+        return loss["total_loss"]
+
+    ms_fused = _time_loop(run_fused)
+    print(f"aug fused in step    : {ms_fused:7.2f} ms/step")
+
+
+def batch_sweep():
+    import jax
+
+    from phiseg_tpu.engine.train import make_train_step
+
+    for b in (12, 24, 48):
+        cfg, model, tx, state, x, s, rng, aug = _setup(batch=b)
+        step = make_train_step(model, cfg, tx, augment_fn=aug)
+        st = [state]
+
+        def run(i):
+            st[0], loss = step(st[0], x, s, jax.random.fold_in(rng, i))
+            return loss["total_loss"]
+
+        ms = _time_loop(run, n=20)
+        print(f"batch {b:3d}: {ms:7.2f} ms/step = {1000 * b / ms:7.1f} img/s")
+
+
+def sampler():
+    import jax
+
+    from phiseg_tpu.engine.train import make_sample_fn
+
+    cfg, model, tx, state, x, s, rng, aug = _setup()
+    fn = make_sample_fn(model, 100)
+    x1 = x[:1]
+    variables = state.variables
+
+    # XLA FLOP estimate
+    try:
+        ca = fn.lower(variables, x1, rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+
+    jax.block_until_ready(fn(variables, x1, rng))
+    lat = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(variables, x1, jax.random.fold_in(rng, i)))
+        lat.append((time.perf_counter() - t0) * 1000)
+    synced = statistics.median(lat)
+
+    reps = 20
+    t0 = time.perf_counter()
+    outs = [fn(variables, x1, jax.random.fold_in(rng, 100 + i)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    device_ms = (time.perf_counter() - t0) * 1000 / reps
+
+    mfu = flops / (device_ms / 1000) / 197e12 if flops else float("nan")
+    print(f"sampler 100x1: device {device_ms:.2f} ms | synced p50 {synced:.2f} ms"
+          f" | {flops / 1e9:.1f} GFLOP | MFU {100 * mfu:.1f}%")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("step-variants", "all"):
+        step_variants()
+    if which in ("batch-sweep", "all"):
+        batch_sweep()
+    if which in ("sampler", "all"):
+        sampler()

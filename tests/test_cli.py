@@ -31,6 +31,7 @@ def trained_logdir(tmp_path_factory):
         tensorboard_update_frequency=4,
         num_validation_images=4,
         validation_samples=3,
+        validation_elbo_samples=2,
         augment_on_device=False,
     )
     cfg_path = str(tmp / "cfg.json")

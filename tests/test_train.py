@@ -128,3 +128,41 @@ def test_momentum_optimizer():
 def test_bad_optimizer_raises():
     with pytest.raises(ValueError):
         make_optimizer(tiny_cfg(optimizer="adagrad"))
+
+
+def test_validation_elbo_multi_draw_protocol():
+    """make_validation_fn averages validation_elbo_samples posterior draws
+    (the reference's tile-x16 protocol, phiseg_model.py:577-585): the
+    returned ELBO equals the mean of manually-computed per-draw ELBOs with
+    the same key derivation."""
+    from phiseg_tpu.engine.objective import phiseg_objective
+    from phiseg_tpu.engine.validation import make_validation_fn
+    from phiseg_tpu.nn.losses import one_hot
+
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, key, tx)
+    x, s = toy_batch(key)
+    ann = jnp.stack([s] * 4, axis=1)  # (B,M,H,W)
+    rng = jax.random.PRNGKey(123)
+
+    def manual_mean_elbo(n_draws):
+        _, rng_elbo = jax.random.split(rng)
+        s_oh = one_hot(s, cfg.nlabels)
+        es = []
+        for k in jax.random.split(rng_elbo, n_draws):
+            outputs = model.apply(state.variables, x, s_oh, k, train=False)
+            e, _ = phiseg_objective(outputs, s_oh, cfg,
+                                    params=state.variables["params"])
+            es.append(float(e))
+        return float(np.mean(es))
+
+    for n in (1, 4):
+        vfn = make_validation_fn(model, cfg.replace(validation_elbo_samples=n,
+                                                    validation_samples=2))
+        got = float(vfn(state.variables, x, ann, s, rng)[3])
+        np.testing.assert_allclose(got, manual_mean_elbo(n), rtol=2e-4)
+    # and the two draw counts genuinely differ (distinct keys per draw)
+    assert manual_mean_elbo(1) != manual_mean_elbo(4)

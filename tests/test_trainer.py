@@ -31,6 +31,7 @@ def cfg(tmp_path, monkeypatch):
         tensorboard_update_frequency=5,
         num_validation_images=4,
         validation_samples=3,
+        validation_elbo_samples=2,  # keep the suite fast; knob tested in test_train
         augment_on_device=False,
     )
 
