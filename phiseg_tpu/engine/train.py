@@ -110,13 +110,29 @@ def make_train_step(
     use_fused_ce: Optional[bool] = None,
     donate: bool = True,
     mesh=None,
+    fuse_aug: bool = True,
+    fold_by_step: bool = False,
 ):
-    """Build the jitted train step: fwd + bwd + optimiser + BN stats in one XLA program.
+    """Build the jitted train step: aug + fwd + bwd + optimiser + BN stats in
+    ONE XLA program.
 
     use_fused_ce=None (auto) enables the Pallas fused multi-scale CE kernel
     on TPU and keeps the plain-XLA path elsewhere (the kernel's CPU fallback
     is interpreter-mode, fine for tests but slow). Under a mesh, pass the
     mesh so the kernel runs shard_map-wrapped on each device's batch shard.
+
+    fuse_aug: compile augmentation into the train step. With the original
+    gather-based warp this degraded the step ~15 ms (the gather lowered
+    pathologically inside the big program); with the MXU matmul warp
+    (data/augment_device.py:_bilinear_warp) fusing is strictly better -- it
+    removes one program dispatch, the host-side rng split dispatch and the
+    cross-program int32 label relayout copies per step. fuse_aug=False keeps
+    the two-program structure for A/B measurement.
+
+    fold_by_step: derive the per-step key inside the program as
+    fold_in(rng, state.step). The caller then passes the SAME base key every
+    step, eliminating the per-step host-side fold_in dispatch; resumes stay
+    deterministic because state.step is part of the checkpointed state.
     """
     if use_fused_ce is None:
         use_fused_ce = jax.default_backend() == "tpu"
@@ -132,14 +148,12 @@ def make_train_step(
         )
         return loss, (mutated.get("batch_stats", {}), loss_dict)
 
-    # Augmentation runs as its OWN jitted program, not fused into the step:
-    # standalone it costs ~0.3ms/batch, but compiled into the train program
-    # it degrades the whole step by ~15ms (XLA fusion/layout interaction with
-    # the warp gather; an optimization_barrier does not help). The extra HBM
-    # round-trip of one batch is noise by comparison.
-    aug_jit = jax.jit(augment_fn) if augment_fn is not None else None
-
     def step_fn(state: TrainState, x: jax.Array, s: jax.Array, rng: jax.Array):
+        if fold_by_step:
+            rng = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None and fuse_aug:
+            rng, aug_rng = jax.random.split(rng)
+            x, s = augment_fn(x, s, aug_rng)
         s_oh = one_hot(s, cfg.nlabels)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_bs, loss_dict)), grads = grad_fn(
@@ -156,8 +170,11 @@ def make_train_step(
         return new_state, loss_dict
 
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-    if aug_jit is None:
+    if augment_fn is None or fuse_aug:
         return jitted
+
+    # two-program legacy path: augmentation as its own jitted program
+    aug_jit = jax.jit(augment_fn)
 
     def step_with_aug(state, x, s, rng):
         rng, aug_rng = jax.random.split(rng)

@@ -4,9 +4,9 @@ Equivalent of the reference engine's session loop (phiseg/phiseg_model.py:
 166-207 train, :530-701 validation with multi-criterion best checkpoints,
 :821-848 auto-resume). TPU-native differences:
 
-  * the train step is one jitted XLA program (fwd+bwd+optimiser+BN stats);
-    on-device augmentation runs as its own small jitted program right
-    before it (see engine/train.py for why it is not fused);
+  * the train step is one jitted XLA program (augmentation via MXU-matmul
+    warps + fwd + bwd + optimiser + BN stats + per-step rng fold) -- a
+    single device dispatch per iteration;
   * data loading is overlapped with device compute via a background
     prefetch thread;
   * validation sampling and GED/NCC/Dice run on device (vmapped), not in
@@ -128,9 +128,13 @@ class Trainer:
 
             augment_fn = make_augment_fn(cfg.augmentation_options, cfg.nlabels)
 
+        # fold_by_step: the per-step key is derived from state.step inside
+        # the program, so the hot loop passes one constant base key and the
+        # whole step (aug + fwd + bwd + opt) is a single device dispatch.
         self.train_step = make_train_step(
             self.model, cfg, self.tx, augment_fn=augment_fn,
             use_fused_ce=cfg.use_fused_loss_kernel, mesh=mesh,
+            fold_by_step=True,
         )
         self.eval_loss = make_eval_loss_fn(self.model, cfg)
         self.validate_fn = make_validation_fn(self.model, cfg)
@@ -171,9 +175,8 @@ class Trainer:
                 profiler.maybe_start(step)
                 x, s = prefetch.next()
                 x, s = self._shard_batch(x, s)
-                self.state, loss_dict = self.train_step(
-                    self.state, x, s, jax.random.fold_in(rng, step)
-                )
+                # constant base key; the step folds in state.step on device
+                self.state, loss_dict = self.train_step(self.state, x, s, rng)
                 profiler.maybe_stop(step)
 
                 if step % cfg.tensorboard_update_frequency == 0:

@@ -320,6 +320,50 @@ class Dense(nn.Module):
         return x
 
 
+class TransposedConv3DBlock(nn.Module):
+    """3D transposed conv + norm + activation, NDHWC (ref layers.py:260-323).
+    4x4x4 kernel, stride 2 by default."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (4, 4, 4)
+    strides: Tuple[int, int, int] = (2, 2, 2)
+    activation: ActivationFn = nn.relu
+    norm: str = "none"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        use_bias = self.norm != "batch"
+        x = nn.ConvTranspose(
+            features=self.features, kernel_size=self.kernel_size,
+            strides=self.strides, padding="SAME", use_bias=use_bias,
+            kernel_init=he_normal, dtype=self.dtype, name="conv_t3d",
+        )(x)
+        return _norm_act(self, x, train)
+
+
+def resize_bilinear_3d(x: jax.Array, size: Tuple[int, int, int]) -> jax.Array:
+    """Trilinear resize of NDHWC to (D, H, W) (ref layers.py:348-358)."""
+    b, _, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], size[2], c), method="trilinear")
+
+
+def resize_nearest_3d(x: jax.Array, size: Tuple[int, int, int]) -> jax.Array:
+    """Nearest-neighbour 3D resize of NDHWC (ref layers.py:361-376)."""
+    b, _, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], size[2], c), method="nearest")
+
+
+def upsample_bilinear_3d(x: jax.Array, factor: int = 2) -> jax.Array:
+    _, d, h, w, _ = x.shape
+    return resize_bilinear_3d(x, (d * factor, h * factor, w * factor))
+
+
+def upsample_nearest_3d(x: jax.Array, factor: int = 2) -> jax.Array:
+    _, d, h, w, _ = x.shape
+    return resize_nearest_3d(x, (d * factor, h * factor, w * factor))
+
+
 def avg_pool_2x2x2(x: jax.Array) -> jax.Array:
     """3D average pooling, NDHWC (ref layers.py avg/max pool3D)."""
     return nn.avg_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2), padding="SAME")

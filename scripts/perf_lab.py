@@ -91,7 +91,8 @@ def step_variants():
 
     # (c) alternating two programs (round-1 production path)
     cfg2, model2, tx2, state2, *_ = _setup()
-    step_pair = make_train_step(model2, cfg2, tx2, augment_fn=aug)
+    step_pair = make_train_step(model2, cfg2, tx2, augment_fn=aug,
+                                fuse_aug=False)
     st2 = [state2]
 
     def run_pair(i):
@@ -102,42 +103,14 @@ def step_variants():
     print(f"aug+step (2 programs): {ms_pair:7.2f} ms/step  (overhead vs sum: "
           f"{ms_pair - ms_plain - ms_aug:+.2f} ms)")
 
-    # (d) aug fused INTO the step program (round-1 measured this slower)
-    import jax.numpy as jnp
-
-    from phiseg_tpu.engine.train import TrainState, make_optimizer
-    from phiseg_tpu.nn.losses import one_hot
-    from phiseg_tpu.engine.objective import phiseg_objective
-    import optax
-
+    # (d) aug fused INTO the step program + in-step rng fold (production path)
     cfg3, model3, tx3, state3, *_ = _setup()
-
-    def fused(state, x_, s_, rng_):
-        rng_, aug_rng = jax.random.split(rng_)
-        xa, sa = aug(x_, s_, aug_rng)
-        s_oh = one_hot(sa, cfg3.nlabels)
-
-        def loss_fn(params, batch_stats):
-            outputs, mutated = model3.apply(
-                {"params": params, "batch_stats": batch_stats},
-                xa, s_oh, rng_, train=True, mutable=["batch_stats"],
-            )
-            loss, loss_dict = phiseg_objective(outputs, s_oh, cfg3,
-                                               params=params, use_fused_ce=True)
-            return loss, (mutated.get("batch_stats", {}), loss_dict)
-
-        (loss, (new_bs, loss_dict)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats)
-        updates, new_opt = tx3.update(grads, state.opt_state, state.params)
-        return TrainState(step=state.step + 1,
-                          params=optax.apply_updates(state.params, updates),
-                          batch_stats=new_bs, opt_state=new_opt), loss_dict
-
-    fused_jit = jax.jit(fused, donate_argnums=(0,))
+    step_fused = make_train_step(model3, cfg3, tx3, augment_fn=aug,
+                                 fuse_aug=True, fold_by_step=True)
     st3 = [state3]
 
     def run_fused(i):
-        st3[0], loss = fused_jit(st3[0], x, s, jax.random.fold_in(rng, i))
+        st3[0], loss = step_fused(st3[0], x, s, rng)
         return loss["total_loss"]
 
     ms_fused = _time_loop(run_fused)

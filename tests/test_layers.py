@@ -141,3 +141,30 @@ def test_conv_block_dropout(rng):
     # train mode: stochastic, requires 'dropout' rng; some activations zeroed
     yt = block.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     assert (np.asarray(yt) == 0).mean() > 0.2
+
+
+def test_3d_blocks_and_resizes(rng):
+    """3D op coverage: conv3D / transposed conv3D / pools / tri-resizes
+    (ref tfwrapper/layers.py:148-194, :260-323, :348-376)."""
+    from phiseg_tpu.nn.layers import (
+        Conv3DBlock,
+        TransposedConv3DBlock,
+        avg_pool_2x2x2,
+        max_pool_2x2x2,
+        resize_nearest_3d,
+        upsample_bilinear_3d,
+        upsample_nearest_3d,
+    )
+
+    x = jnp.ones((2, 4, 8, 8, 3))
+    y = Conv3DBlock(features=5).init_with_output(rng, x)[0]
+    assert y.shape == (2, 4, 8, 8, 5)
+    y = TransposedConv3DBlock(features=5).init_with_output(rng, x)[0]
+    assert y.shape == (2, 8, 16, 16, 5)
+    assert avg_pool_2x2x2(x).shape == (2, 2, 4, 4, 3)
+    assert max_pool_2x2x2(x).shape == (2, 2, 4, 4, 3)
+    up = upsample_bilinear_3d(x)
+    assert up.shape == (2, 8, 16, 16, 3)
+    np.testing.assert_allclose(up, 1.0, rtol=1e-6)  # constant-preserving
+    assert upsample_nearest_3d(x).shape == (2, 8, 16, 16, 3)
+    assert resize_nearest_3d(x, (2, 4, 4)).shape == (2, 2, 4, 4, 3)
