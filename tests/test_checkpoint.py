@@ -118,3 +118,32 @@ def test_metrics_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert lines[0] == {"step": 1, "loss": 2.5}
     assert lines[1]["step"] == 2
+
+
+def test_multi_tag_save_reuses_serialisation(tmp_path):
+    """Saving the SAME state under several tags at one step must not
+    re-serialise: the validation flow writes latest + up to 4 best_* tags of
+    a ~200MB state (1-vCPU hosts measured ~1 min per re-pack)."""
+    import os
+
+    import jax.numpy as jnp
+    from flax import struct
+
+    from phiseg_tpu.engine.checkpoint import CheckpointManager
+
+    @struct.dataclass
+    class St:
+        step: jnp.ndarray
+        params: dict
+
+    st = St(step=jnp.asarray(7), params={"w": jnp.ones((64, 64))})
+    m = CheckpointManager(str(tmp_path), keep=3)
+    p1 = m.save(st, "latest")
+    p2 = m.save(st, "best_dice")
+    assert os.stat(p1).st_ino == os.stat(p2).st_ino  # hardlinked, not repacked
+
+    st2 = St(step=jnp.asarray(7), params={"w": jnp.zeros((64, 64))})
+    p3 = m.save(st2, "best_ncc")
+    assert os.stat(p3).st_ino != os.stat(p1).st_ino  # new state -> real write
+    r, step = m.restore(st, "best_ncc")
+    assert step == 7 and float(r.params["w"].sum()) == 0.0
