@@ -33,6 +33,11 @@ def parse_args(argv=None):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator from env, e.g. on a TPU pod slice)")
+    p.add_argument("--no-image-summaries", action="store_true",
+                   help="disable TB image grids / per-level output maps "
+                        "(scalar monitoring is unaffected)")
+    p.add_argument("--no-histogram-summaries", action="store_true",
+                   help="disable TB weight/activation histograms")
     return p.parse_args(argv)
 
 
@@ -62,6 +67,10 @@ def main(argv=None):
         cfg = cfg.replace(batch_size=args.batch_size)
     if args.dtype is not None:
         cfg = cfg.replace(compute_dtype=args.dtype)
+    if args.no_image_summaries:
+        cfg = cfg.replace(do_image_summaries=False)
+    if args.no_histogram_summaries:
+        cfg = cfg.replace(do_histogram_summaries=False)
 
     from phiseg_tpu.data import get_dataset
     from phiseg_tpu.engine.trainer import Trainer

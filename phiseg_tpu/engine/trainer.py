@@ -223,8 +223,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def do_validation(self, data, step: int, val_batch: int = 8):
-        """Full validation pass (ref _do_validation :530-701)."""
+    def do_validation(self, data, step: int, val_batch: int = 32):
+        """Full validation pass (ref _do_validation :530-701).
+
+        val_batch 32 (not 8): per-program-call dispatch overhead through the
+        tunnelled TPU dominates the on-device metric compute, so fewer,
+        larger validation calls are strictly cheaper; results are per-image
+        and numerically independent of the batching."""
         cfg = self.cfg
         t0 = time.time()
         # Snapshot the state to host ONCE; the (up to five) tag saves below
@@ -246,6 +251,7 @@ class Trainer:
         n_images = data.validation.images.shape[0]
         if cfg.num_validation_images != "all":
             n_images = min(n_images, int(cfg.num_validation_images))
+        val_batch = min(val_batch, n_images)  # don't pad past the val set
 
         from phiseg_tpu.engine.validation import pad_to_batch
 

@@ -10,7 +10,11 @@ export PHISEG_LOG_ROOT="${PHISEG_LOG_ROOT:-${REPO_ROOT}/logs}"
 STEPS="${1:-2000}"
 
 for EXP in detunet_synth probunet_synth phiseg_7_1_synth; do
-  python -m phiseg_tpu.cli.train "${EXP}" --num-iter "${STEPS}"
+  # baselines skip the TB image/histogram diagnostics: metric selection and
+  # scalar curves are unaffected, and it saves each family the multi-minute
+  # per-architecture compile of the diagnostics programs on the tunnelled TPU
+  python -m phiseg_tpu.cli.train "${EXP}" --num-iter "${STEPS}" \
+    --no-image-summaries --no-histogram-summaries
 done
 
 L() { echo "${PHISEG_LOG_ROOT}/$1/$2"; }
