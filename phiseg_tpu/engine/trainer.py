@@ -153,6 +153,19 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _shard_batch(self, x, s):
+        # Narrow wire formats: host->device batch transfer is a per-step cost
+        # through the tunnelled TPU (shared-bandwidth link), so ship labels as
+        # uint8 and, on a bf16 compute path, images as bfloat16 (the first
+        # conv casts to bf16 anyway; LIDC images are uint8-derived so 8
+        # mantissa bits are enough). ~2.6x less per-step wire traffic.
+        s = np.asarray(s)
+        if self.cfg.nlabels <= 255 and s.dtype != np.uint8:
+            s = s.astype(np.uint8)
+        x = np.asarray(x)
+        if self.cfg.dtype == jnp.bfloat16:
+            import ml_dtypes  # host-side bf16 so 2-byte values cross the wire
+
+            x = x.astype(ml_dtypes.bfloat16)
         if self.mesh is None:
             return jnp.asarray(x), jnp.asarray(s)
         # Multi-host aware: each process contributes its local slice of the
