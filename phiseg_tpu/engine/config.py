@@ -111,6 +111,27 @@ class ExperimentConfig:
     # phiseg_model.py:144). None disables.
     archive_every_hours: Optional[float] = 3.0
     mesh_data_axis: Optional[int] = None  # None -> all local devices
+    # Documented deviation (README): clamp sigmas to >= this inside the KL
+    # only. None = reference-faithful +1e-10 guards (phiseg_model.py:210-226),
+    # which spike the loss to ~1e11 when a softplus-sigma saturates near 0.
+    kl_sigma_floor: Optional[float] = None
+    # Documented deviation (README): persist best-metric values alongside
+    # checkpoints so a resumed run cannot clobber a better historical best_*
+    # tag (the reference resets its best values on every train() start,
+    # phiseg_model.py:180-184). False restores reference behaviour.
+    persist_best_metrics: bool = True
+    # Serialise + write checkpoints on a background thread so the hot loop
+    # is not blocked by ~seconds of msgpack+disk per validation (the
+    # reference's saver.save blocks the session loop, phiseg_model.py:534).
+    async_checkpointing: bool = True
+    # Synthetic-dataset shape (data_identifier="synthetic"): split sizes and
+    # task generator ("nested" = single nested-threshold lesion;
+    # "multiscale" = several lesions at different scales with per-lesion
+    # independent annotator disagreement -- see data/synthetic.py).
+    synth_task: str = "nested"
+    synth_n_train: int = 128
+    synth_n_val: int = 32
+    synth_n_test: int = 32
 
     # ------------------------------------------------------------------
 

@@ -62,16 +62,29 @@ def residual_multinoulli_loss(
 
 
 def hierarchical_kl_loss(
-    outputs: ModelOutputs, exponential_weighting: bool
+    outputs: ModelOutputs, exponential_weighting: bool,
+    sigma_floor: Optional[float] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Per-level KL(q || p), optionally 4^i weighted (ref :265-287)."""
+    """Per-level KL(q || p), optionally 4^i weighted (ref :265-287).
+
+    sigma_floor (documented deviation, default None = reference-faithful):
+    clamp both sigmas to at least this value INSIDE the KL only. The
+    reference formula guards division by zero with +1e-10 (phiseg_model.py:
+    210-226), which still lets the loss spike to ~1e11 whenever a
+    softplus-sigma unit saturates near 0 (observed at init and sporadically
+    early in training). max(sigma, floor) bounds the KL without touching the
+    sampling path; gradients w.r.t. a clamped unit are zero for that term,
+    which is the desired "stop pushing sigma below the floor" behaviour.
+    """
     latent_levels = len(outputs.q_mu)
     weights = [4.0**i if exponential_weighting else 1.0 for i in range(latent_levels)]
     loss_dict: Dict[str, jax.Array] = {}
     total = jnp.float32(0.0)
+    clamp = (lambda s: jnp.maximum(s, sigma_floor)) if sigma_floor else (lambda s: s)
     for i in reversed(range(latent_levels)):
         kl = weights[i] * kl_two_gauss_diag_cov(
-            outputs.q_mu[i], outputs.q_sigma[i], outputs.p_mu[i], outputs.p_sigma[i]
+            outputs.q_mu[i], clamp(outputs.q_sigma[i]),
+            outputs.p_mu[i], clamp(outputs.p_sigma[i]),
         )
         loss_dict[f"KL_divergence_loss_lvl{i}"] = kl
         total = total + kl
@@ -107,7 +120,10 @@ def phiseg_objective(
         total = total + cfg.residual_multinoulli_loss_weight * ce
 
     if cfg.kl_divergence_loss_weight is not None and len(outputs.q_mu) > 0:
-        kl, kl_dict = hierarchical_kl_loss(outputs, cfg.exponential_weighting)
+        kl, kl_dict = hierarchical_kl_loss(
+            outputs, cfg.exponential_weighting,
+            sigma_floor=cfg.kl_sigma_floor,
+        )
         loss_dict.update(kl_dict)
         total = total + cfg.kl_divergence_loss_weight * kl
 

@@ -128,3 +128,21 @@ def test_weighted_pixel_ce():
     labels = jax.nn.one_hot(jnp.asarray([[[0, 1]]]), 2)
     got = losses.pixel_wise_cross_entropy_loss_weighted(logits, labels, [1.0, 3.0])
     np.testing.assert_allclose(float(got), np.log(2.0) * (1 + 3) / 2, rtol=1e-5)
+
+
+def test_hierarchical_kl_sigma_floor():
+    """kl_sigma_floor clamps near-zero sigmas inside the KL only."""
+    mu = (jnp.zeros((1, 2)),)
+    tiny = (jnp.full((1, 2), 1e-12),)
+    one = (jnp.ones((1, 2)),)
+    out = ModelOutputs(s_out_list=(), z=(), q_mu=mu, q_sigma=one,
+                       p_mu=mu, p_sigma=tiny)
+    unfloored, _ = hierarchical_kl_loss(out, exponential_weighting=False)
+    assert float(unfloored) > 1e9  # the reference formula blows up
+    floored, _ = hierarchical_kl_loss(out, exponential_weighting=False,
+                                      sigma_floor=1.0)
+    np.testing.assert_allclose(float(floored), 0.0, atol=1e-5)
+    # floor below both sigmas: no effect
+    same, _ = hierarchical_kl_loss(out, exponential_weighting=False,
+                                   sigma_floor=1e-13)
+    np.testing.assert_allclose(float(same), float(unfloored), rtol=1e-5)
