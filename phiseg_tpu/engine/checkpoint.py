@@ -37,20 +37,39 @@ _TAG_PREFIX = {
 
 class CheckpointManager:
     def __init__(self, log_dir: str, keep: int = 2, keep_latest: int = 1,
-                 archive_every_hours: float | None = 3.0):
+                 archive_every_hours: float | None = 3.0,
+                 async_writes: bool = False):
         """archive_every_hours: time-based archival saves that are NEVER
         pruned, so a long run keeps periodic forensic history (the
         reference's keep_checkpoint_every_n_hours=3, phiseg_model.py:144).
-        None disables."""
+        None disables.
+
+        async_writes: serialise + write on a background worker thread so the
+        training loop is not blocked by seconds of msgpack/disk per save (the
+        reference's saver.save blocks the session loop, phiseg_model.py:534;
+        on this 1-vCPU host a ~200MB state costs ~1s serialise + write while
+        the main thread is mostly idle on tunnel I/O). Saves are processed
+        in submission order by ONE worker, so tag semantics and the
+        hardlink multi-tag optimisation are unchanged. Call wait() to drain
+        (restore() and close() do)."""
         import time
 
         self.log_dir = log_dir
         self.keep = keep
         self.keep_latest = keep_latest
         self.archive_every_hours = archive_every_hours
-        # (step, state-object-id, path) of the most recent real write, so
+        self._async = async_writes
+        self._queue = None
+        self._worker = None
+        self._worker_error = None
+        # (step, weakref-to-state, path) of the most recent real write, so
         # same-state multi-tag saves (latest + best_* at one validation)
-        # serialise the ~200MB state ONCE and hardlink the other tags.
+        # serialise the ~200MB state ONCE and hardlink the other tags. A
+        # weakref (not a strong ref) so the manager never extends the host
+        # pytree's lifetime past the caller's own reference -- holding it
+        # strongly doubled host-state RAM between validations on the
+        # 1-vCPU VM. Identity checks still work while the caller's
+        # reference is live, which is exactly the multi-tag save window.
         self._last_write = None
         os.makedirs(log_dir, exist_ok=True)
         # Resume-aware: the clock starts at the newest existing archive.
@@ -77,6 +96,8 @@ class CheckpointManager:
 
     def latest_step(self, tag: str = "latest") -> Optional[int]:
         """Highest saved step for a tag (ref get_latest_model_checkpoint_path)."""
+        if self._queue is not None:
+            self._queue.join()  # pending async writes count
         steps = self._list_steps(tag)
         return steps[-1] if steps else None
 
@@ -87,6 +108,56 @@ class CheckpointManager:
             raise ValueError(f"unknown checkpoint tag: {tag!r} (known: {TAGS})")
         if step is None:
             step = int(jax.device_get(state.step))
+        if self._async:
+            self._ensure_worker()
+            if self._worker_error is not None:
+                err, self._worker_error = self._worker_error, None
+                raise err
+            # Snapshot device buffers to host BEFORE enqueueing so the worker
+            # never touches buffers a later donated step might invalidate --
+            # but keep already-host states as the SAME object (device_get
+            # rebuilds the pytree container even for numpy leaves, which
+            # would break the identity check behind the multi-tag hardlink
+            # optimisation).
+            if any(isinstance(leaf, jax.Array)
+                   for leaf in jax.tree_util.tree_leaves(state)):
+                state = jax.device_get(state)
+            self._queue.put((state, tag, step))
+            return self._path(tag, step)
+        return self._save_sync(state, tag, step)
+
+    def _ensure_worker(self):
+        import queue
+        import threading
+
+        if self._worker is not None:
+            return
+        self._queue = queue.Queue()
+
+        def run():
+            while True:
+                item = self._queue.get()
+                try:
+                    if item is None:
+                        return
+                    self._save_sync(*item)
+                except Exception as e:  # surfaced on the next save()/wait()
+                    self._worker_error = e
+                finally:
+                    self._queue.task_done()
+
+        self._worker = threading.Thread(target=run, daemon=True, name="ckpt-writer")
+        self._worker.start()
+
+    def wait(self):
+        """Drain pending async writes; re-raise any worker error."""
+        if self._queue is not None:
+            self._queue.join()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
+
+    def _save_sync(self, state, tag: str, step: int) -> str:
         path = self._path(tag, step)
         tmp = path + ".tmp"
         # Multi-tag saves of the SAME state at the same step (the validation
@@ -97,7 +168,7 @@ class CheckpointManager:
         if (
             self._last_write is not None
             and self._last_write[0] == step
-            and self._last_write[1] is state
+            and self._last_write[1]() is state
             and os.path.exists(self._last_write[2])
             and self._last_write[2] != path
         ):
@@ -119,7 +190,13 @@ class CheckpointManager:
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, path)  # atomic publish
-            self._last_write = (step, state, path)
+            import weakref
+
+            try:
+                ref = weakref.ref(state)
+            except TypeError:  # non-weakref-able state (e.g. plain dict)
+                ref = lambda: None  # noqa: E731 -- disables hardlink reuse
+            self._last_write = (step, ref, path)
 
         if tag != "archive":  # archives are permanent
             keep = self.keep_latest if tag == "latest" else self.keep
@@ -146,6 +223,7 @@ class CheckpointManager:
     def restore(self, template_state, tag: str = "latest",
                 step: Optional[int] = None):
         """Restore into the structure of template_state. Returns (state, step)."""
+        self.wait()  # a pending async write may be the checkpoint we want
         if tag not in TAGS:
             raise ValueError(f"unknown checkpoint tag: {tag!r} (known: {TAGS})")
         if step is None:

@@ -114,13 +114,28 @@ class Trainer:
         self.ckpt = CheckpointManager(
             self.log_dir, keep=cfg.checkpoint_keep,
             archive_every_hours=cfg.archive_every_hours,
+            async_writes=getattr(cfg, "async_checkpointing", False),
         )
         self.init_step = 0
+        self.best = {"dice": -1.0, "loss": np.inf, "ged": np.inf, "ncc": -1.0}
+        self._best_path = os.path.join(self.log_dir, "best_metrics.json")
         if resume and self.ckpt.has_checkpoint("latest"):
             self.state, _ = self.ckpt.restore(self.state, "latest")
             # Resume from the state's own counter (the filename is a label).
             self.init_step = int(jax.device_get(self.state.step))
             log.info("resuming from step %d", self.init_step)
+            # Documented deviation (cfg.persist_best_metrics): reload the
+            # best-metric values so the first post-resume validation cannot
+            # clobber a better historical best_* checkpoint (the reference
+            # resets its bests on every train() start, phiseg_model.py:
+            # 180-184, and has the same flaw).
+            if getattr(cfg, "persist_best_metrics", True) and os.path.exists(self._best_path):
+                import json as _json
+
+                with open(self._best_path) as f:
+                    saved = _json.load(f)
+                self.best.update({k: float(v) for k, v in saved.items()})
+                log.info("restored best metrics: %s", self.best)
 
         augment_fn = None
         if cfg.augment_on_device and cfg.augmentation_options:
@@ -147,8 +162,6 @@ class Trainer:
 
         self.writer = SummaryWriter(self.log_dir)
         self.metrics_path = os.path.join(self.log_dir, "metrics.jsonl")
-
-        self.best = {"dice": -1.0, "loss": np.inf, "ged": np.inf, "ncc": -1.0}
 
     # ------------------------------------------------------------------
 
@@ -232,6 +245,7 @@ class Trainer:
         # validation_frequency-1 trailing steps (or a whole short resumed
         # run) would be silently discarded.
         self.ckpt.save(jax.device_get(self.state), "latest")
+        self.ckpt.wait()  # drain async checkpoint writes before returning
         return self.state
 
     # ------------------------------------------------------------------
@@ -305,18 +319,30 @@ class Trainer:
         )
 
         # multi-criterion best checkpoints (ref :638-660)
+        improved = False
         if mean_dice >= self.best["dice"]:
             self.best["dice"] = mean_dice
             self.ckpt.save(host_state, "best_dice")
+            improved = True
         if avg_elbo <= self.best["loss"]:
             self.best["loss"] = avg_elbo
             self.ckpt.save(host_state, "best_loss")
+            improved = True
         if avg_ged <= self.best["ged"]:
             self.best["ged"] = avg_ged
             self.ckpt.save(host_state, "best_ged")
+            improved = True
         if avg_ncc >= self.best["ncc"]:
             self.best["ncc"] = avg_ncc
             self.ckpt.save(host_state, "best_ncc")
+            improved = True
+        if improved and getattr(self.cfg, "persist_best_metrics", True):
+            import json as _json
+
+            tmp = self._best_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(self.best, f)
+            os.replace(tmp, self._best_path)
 
         scalars = {
             "validation_dice_mean_score": mean_dice,

@@ -147,3 +147,48 @@ def test_multi_tag_save_reuses_serialisation(tmp_path):
     assert os.stat(p3).st_ino != os.stat(p1).st_ino  # new state -> real write
     r, step = m.restore(st, "best_ncc")
     assert step == 7 and float(r.params["w"].sum()) == 0.0
+
+
+def test_async_writes_drain_and_roundtrip(tmp_path, state_and_cfg):
+    state, cfg, model, tx = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path), async_writes=True)
+    host = jax.device_get(state)
+    mgr.save(host, "latest", step=3)
+    mgr.save(host, "best_dice", step=3)  # same state: hardlink path
+    mgr.wait()
+    assert mgr.latest_step("latest") == 3
+    assert mgr.latest_step("best_dice") == 3
+    # the two files share an inode (multi-tag hardlink survived async)
+    p1 = os.path.join(tmp_path, "model.ckpt-3.msgpack")
+    p2 = os.path.join(tmp_path, "model_best_dice.ckpt-3.msgpack")
+    assert os.stat(p1).st_ino == os.stat(p2).st_ino
+    restored, step = mgr.restore(state, "latest")
+    assert step == 3
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+
+def test_async_restore_waits_for_pending(tmp_path, state_and_cfg):
+    state, _, _, _ = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path), async_writes=True)
+    mgr.save(jax.device_get(state), "latest", step=7)
+    # no explicit wait(): restore must drain the queue itself
+    _, step = mgr.restore(state, "latest")
+    assert step == 7
+
+
+def test_async_worker_error_surfaces(tmp_path, state_and_cfg):
+    state, _, _, _ = state_and_cfg
+    mgr = CheckpointManager(str(tmp_path), async_writes=True)
+    mgr.save(jax.device_get(state), "latest", step=1)
+    mgr.wait()
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    mgr._save_sync = boom  # worker failures must not be swallowed
+    mgr.save(jax.device_get(state), "latest", step=2)
+    with pytest.raises(OSError):
+        mgr.wait()

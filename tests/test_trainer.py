@@ -139,3 +139,45 @@ def test_trainer_no_resume_flag(cfg):
     t1.train(data, num_iter=11)
     t2 = Trainer(cfg, resume=False)
     assert t2.init_step == 0
+
+
+def test_best_metrics_persist_across_resume(cfg):
+    """A resumed run must NOT clobber a better historical best_* checkpoint
+    (documented deviation from the reference, which resets its best values
+    on every train() start, phiseg_model.py:180-184)."""
+    data = get_dataset(cfg, n_train=16, n_val=4, n_test=4)
+    t1 = Trainer(cfg)
+    t1.train(data, num_iter=11)
+    assert os.path.exists(os.path.join(t1.log_dir, "best_metrics.json"))
+    bests = dict(t1.best)
+    assert bests["dice"] > -1.0  # at least one validation happened
+
+    t2 = Trainer(cfg)  # resume
+    assert t2.best == bests  # restored, not reset
+
+    # artificially superior historical bests: the next validation must not
+    # overwrite the best_* tags
+    t2.best = {"dice": 2.0, "loss": -1e9, "ged": -1.0, "ncc": 2.0}
+    before = {tag: t2.ckpt.latest_step(tag)
+              for tag in ("best_dice", "best_ged", "best_ncc", "best_loss")}
+    t2.do_validation(data, step=11)
+    t2.ckpt.wait()
+    after = {tag: t2.ckpt.latest_step(tag) for tag in before}
+    assert after == before
+
+    # flag off restores reference behaviour: bests reset on construction
+    t3 = Trainer(cfg.replace(persist_best_metrics=False))
+    assert t3.best["dice"] == -1.0
+
+
+def test_async_checkpointing_trainer(cfg):
+    """async_checkpointing=True writes the same checkpoint files."""
+    c = cfg.replace(experiment_name="async_ckpt", async_checkpointing=True)
+    data = get_dataset(c, n_train=16, n_val=4, n_test=4)
+    t = Trainer(c)
+    t.train(data, num_iter=11)
+    assert t.ckpt.has_checkpoint("latest")
+    assert t.ckpt.has_checkpoint("best_dice")
+    # resume round-trips through the async-written file
+    t2 = Trainer(c)
+    assert t2.init_step == 11
