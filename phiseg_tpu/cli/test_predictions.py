@@ -27,7 +27,8 @@ log = logging.getLogger(__name__)
 
 
 def evaluate(log_dir: str, num_samples: int = 100, tag: str = "best_dice",
-             batch: int = 8, max_images: int | None = None, mesh: bool = False):
+             batch: int = 8, max_images: int | None = None, mesh: bool = False,
+             synth_n_test: int | None = None):
     from phiseg_tpu.data import get_dataset
     from phiseg_tpu.engine.loading import load_experiment
     from phiseg_tpu.engine.train import make_sample_fn
@@ -37,6 +38,8 @@ def evaluate(log_dir: str, num_samples: int = 100, tag: str = "best_dice",
     log.info("restored %s @ step %d", tag, step)
     if cfg.model_family == "det_unet":
         num_samples = 1  # deterministic net: one draw (ref :40)
+    if synth_n_test is not None:
+        cfg = cfg.replace(synth_n_test=synth_n_test)  # see test_quantitative
     data = get_dataset(cfg)
     device_mesh = None
     if mesh and num_samples > 1:
@@ -96,8 +99,11 @@ def main(argv=None):
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--mesh", action="store_true",
                    help="shard the sample axis over all local devices")
+    p.add_argument("--synth-n-test", type=int, default=None,
+                   help="enlarge the synthetic test split for this eval")
     a = p.parse_args(argv)
-    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images, mesh=a.mesh)
+    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images, mesh=a.mesh,
+             synth_n_test=a.synth_n_test)
 
 
 if __name__ == "__main__":

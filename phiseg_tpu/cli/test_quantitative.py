@@ -30,13 +30,20 @@ log = logging.getLogger(__name__)
 
 
 def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
-             batch: int = 8, max_images: int | None = None, mesh: bool = False):
+             batch: int = 8, max_images: int | None = None, mesh: bool = False,
+             synth_n_test: int | None = None):
     from phiseg_tpu.data import get_dataset
     from phiseg_tpu.engine.loading import load_experiment
     from phiseg_tpu.engine.validation import make_quant_eval_fn
 
     cfg, model, state, step = load_experiment(log_dir, tag)
     log.info("restored %s @ step %d", tag, step)
+    if synth_n_test is not None:
+        # enlarge the synthetic test split (deterministic: same seed, the
+        # first synth_n_test-of-snapshot images are unchanged); lets old
+        # checkpoints be re-evaluated at reference-scale n
+        # (ref evaluates ~1700 images, phiseg_test_quantitative.py:39).
+        cfg = cfg.replace(synth_n_test=synth_n_test)
     data = get_dataset(cfg)
 
     device_mesh = None
@@ -91,8 +98,11 @@ def main(argv=None):
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--mesh", action="store_true",
                    help="shard the sample axis over all local devices")
+    p.add_argument("--synth-n-test", type=int, default=None,
+                   help="enlarge the synthetic test split for this eval")
     a = p.parse_args(argv)
-    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images, mesh=a.mesh)
+    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images, mesh=a.mesh,
+             synth_n_test=a.synth_n_test)
 
 
 if __name__ == "__main__":

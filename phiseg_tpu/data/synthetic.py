@@ -59,18 +59,136 @@ def make_synthetic_arrays(
     return images, labels
 
 
-class SyntheticData:
-    """Same provider surface as LIDCData, but generated in memory."""
+def make_multiscale_arrays(
+    n: int, hw: tuple, num_annotators: int = 4, seed: int = 0
+):
+    """Multi-scale-ambiguity task: several lesions per image, annotator
+    disagreement at BOTH the global-extent and boundary scales.
 
-    def __init__(self, cfg, n_train: int = 128, n_val: int = 32, n_test: int = 32,
-                 host_augment: bool = False, seed: int = 0):
+    Motivation (round-3): on the single-lesion nested-threshold task the
+    global-latent ProbUNet wins GED^2 -- one global factor explains all the
+    variability. This task is built so the segmentation distribution has a
+    product structure over *locations*, the regime PHiSeg's spatial latent
+    hierarchy (paper sec. 2; priors.py:122-126 teacher forcing) is designed
+    for and a single global latent must approximate combinatorially:
+
+      * one LARGE lesion (r ~ 12-20 px) with an irregular (angular-harmonic)
+        boundary; every annotator includes it but thresholds the soft field
+        at an annotator+lesion-specific level -> fine-scale boundary
+        disagreement;
+      * three SMALL lesions (r ~ 4-9 px) whose image contrast is drawn per
+        lesion; each annotator INDEPENDENTLY decides to include each small
+        lesion with probability equal to its detectability -> 2^3 discrete
+        modes of global-extent disagreement, spatially independent;
+      * a per-annotator global threshold bias couples all lesions weakly
+        (the "strict vs generous rater" axis).
+
+    Masks are conditionally independent across annotators given the image,
+    matching the generative assumptions of both model families. Same output
+    contract as make_synthetic_arrays: images (N,H,W) float ~[-0.5,0.5],
+    labels (N,H,W,A) uint8.
+    """
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    images = np.zeros((n, h, w), np.float32)
+    labels = np.zeros((n, h, w, num_annotators), np.uint8)
+
+    def soft_lesion(cy, cx, r, wobble):
+        """Soft field ~1 inside, ->0 outside, irregular boundary."""
+        dy, dx = yy - cy, xx - cx
+        dist = np.sqrt(dy * dy + dx * dx) + 1e-6
+        ang = np.arctan2(dy, dx)
+        r_eff = r
+        for k_h, (amp, ph) in enumerate(wobble, start=2):
+            r_eff = r_eff * (1.0 + amp * np.sin(k_h * ang + ph))
+        return np.exp(-np.maximum(dist / r_eff, 0.0) ** 2 * 1.2).astype(np.float32)
+
+    for i in range(n):
+        bg = rng.randn(h // 8 + 1, w // 8 + 1).astype(np.float32)
+        bg = np.kron(bg, np.ones((8, 8), np.float32))[:h, :w]
+        img = 0.08 * bg + 0.02 * rng.randn(h, w).astype(np.float32)
+
+        # non-overlapping centers: 1 large + 3 small on a jittered 2x2 grid
+        quads = rng.permutation(4)
+        centers = []
+        for q in quads:
+            qy, qx = divmod(int(q), 2)
+            centers.append((
+                rng.uniform((0.15 + 0.5 * qy) * h, (0.35 + 0.5 * qy) * h),
+                rng.uniform((0.15 + 0.5 * qx) * w, (0.35 + 0.5 * qx) * w),
+            ))
+
+        # large lesion: irregular boundary (2nd-4th angular harmonics)
+        wob = [(rng.uniform(0.05, 0.18), rng.uniform(0, 2 * np.pi))
+               for _ in range(3)]
+        r_large = rng.uniform(0.09 * min(h, w), 0.16 * min(h, w))
+        softs = [soft_lesion(*centers[0], r_large, wob)]
+        contrasts = [rng.uniform(0.4, 0.55)]
+        detect = [1.0]  # large lesion: always annotated
+
+        for j in range(1, 4):  # small lesions
+            r = rng.uniform(0.03 * min(h, w), 0.07 * min(h, w))
+            softs.append(soft_lesion(*centers[j], r, []))
+            c = rng.uniform(0.12, 0.5)  # contrast drives detectability
+            contrasts.append(c)
+            detect.append(float(np.clip((c - 0.05) / 0.45, 0.1, 0.95)))
+
+        for soft, c in zip(softs, contrasts):
+            img = img + c * soft
+        images[i] = np.clip(img - img.mean(), -0.5, 0.5)
+
+        for a in range(num_annotators):
+            bias = rng.normal(0.0, 0.05)  # strict/generous rater axis
+            mask = np.zeros((h, w), np.uint8)
+            for j, soft in enumerate(softs):
+                if rng.rand() > detect[j]:
+                    continue  # annotator independently misses this lesion
+                thr = np.clip(0.5 + bias + rng.normal(0.0, 0.08), 0.2, 0.8)
+                mask |= (soft > thr).astype(np.uint8)
+            labels[i, :, :, a] = mask
+
+    return images, labels
+
+
+_TASKS = {
+    "nested": make_synthetic_arrays,
+    "multiscale": make_multiscale_arrays,
+}
+
+
+def get_task_generator(task: str):
+    if task not in _TASKS:
+        raise ValueError(f"unknown synth_task {task!r} (known: {sorted(_TASKS)})")
+    return _TASKS[task]
+
+
+class SyntheticData:
+    """Same provider surface as LIDCData, but generated in memory.
+
+    Split sizes and the task generator come from the config
+    (synth_task/synth_n_train/synth_n_val/synth_n_test) so the config
+    snapshot fully reproduces the dataset in eval CLIs; explicit kwargs
+    override (used by tests).
+    """
+
+    def __init__(self, cfg, n_train: int | None = None, n_val: int | None = None,
+                 n_test: int | None = None, host_augment: bool = False,
+                 seed: int = 0):
         from phiseg_tpu.data.batch_provider import BatchProvider
+
+        n_train = n_train if n_train is not None else getattr(cfg, "synth_n_train", 128)
+        n_val = n_val if n_val is not None else getattr(cfg, "synth_n_val", 32)
+        n_test = n_test if n_test is not None else getattr(cfg, "synth_n_test", 32)
+        task = getattr(cfg, "synth_task", "nested")
+        gen = get_task_generator(task)
 
         hw = (cfg.image_size[0], cfg.image_size[1])
         a = cfg.num_labels_per_subject
-        tr_x, tr_y = make_synthetic_arrays(n_train, hw, a, seed=seed)
-        va_x, va_y = make_synthetic_arrays(n_val, hw, a, seed=seed + 1)
-        te_x, te_y = make_synthetic_arrays(n_test, hw, a, seed=seed + 2)
+        tr_x, tr_y = gen(n_train, hw, a, seed=seed)
+        va_x, va_y = gen(n_val, hw, a, seed=seed + 1)
+        te_x, te_y = gen(n_test, hw, a, seed=seed + 2)
 
         kw = dict(
             add_dummy_dimension=True,

@@ -82,6 +82,33 @@ probunet_1annot = _register(probunet.replace(
 ))
 
 
+# -- multi-scale-ambiguity synthetic benchmark (round-3; no reference
+# equivalent experiment, but the *claim* under test is the reference's
+# headline "PHiSeg > ProbUNet on GED^2/S_NCC" (README.md:53-54), which needs
+# data with multi-scale, spatially-independent annotator disagreement --
+# see data/synthetic.py make_multiscale_arrays. Larger splits than the
+# nested task: n_test=256 so the paired t-tests aren't resting on 32 images
+# (the reference protocol evaluates ~1700, phiseg_test_quantitative.py:39).
+_MS = dict(
+    data_identifier="synthetic",
+    synth_task="multiscale",
+    synth_n_train=512,
+    synth_n_val=64,
+    synth_n_test=256,
+)
+for _name, _base_cfg in (
+    ("phiseg_7_5_ms", phiseg_7_5),
+    ("phiseg_7_1_ms", phiseg_7_1),
+    ("probunet_ms", probunet),
+    ("detunet_ms", detunet),
+):
+    _REGISTRY[_name] = _base_cfg.replace(
+        experiment_name=_name,
+        log_dir_name=_base_cfg.log_dir_name + "_ms",
+        **_MS,
+    )
+
+
 def get_experiment(name: str) -> ExperimentConfig:
     if name not in _REGISTRY:
         raise KeyError(

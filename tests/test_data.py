@@ -358,3 +358,65 @@ def test_lidc_data_end_to_end(tmp_path):
     assert os.path.getmtime(h5path) == mtime
     xb2, _ = d2.test.next_batch(2)
     assert xb2.shape == (2, 16, 16, 1)
+
+
+# --- multi-scale-ambiguity synthetic task ------------------------------------
+
+
+def test_multiscale_contract_and_determinism():
+    from phiseg_tpu.data.synthetic import make_multiscale_arrays
+
+    x1, y1 = make_multiscale_arrays(4, (64, 64), 4, seed=3)
+    x2, y2 = make_multiscale_arrays(4, (64, 64), 4, seed=3)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    assert x1.shape == (4, 64, 64) and x1.dtype == np.float32
+    assert y1.shape == (4, 64, 64, 4) and y1.dtype == np.uint8
+    assert x1.min() >= -0.5 and x1.max() <= 0.5
+    assert set(np.unique(y1)) <= {0, 1}
+
+
+def test_multiscale_has_spatially_independent_disagreement():
+    """The point of the task: annotators must disagree about WHICH regions
+    are lesioned (component counts differ), not only about boundaries."""
+    import scipy.ndimage as ndi
+
+    from phiseg_tpu.data.synthetic import make_multiscale_arrays
+
+    _, y = make_multiscale_arrays(12, (64, 64), 4, seed=0)
+    comp_counts = np.array(
+        [[ndi.label(y[i, :, :, a])[1] for a in range(4)] for i in range(12)]
+    )
+    # every annotator sees the large lesion
+    assert (comp_counts >= 1).all()
+    # in most images annotators disagree on the number of lesions
+    disagree = (comp_counts.max(axis=1) != comp_counts.min(axis=1)).mean()
+    assert disagree > 0.5, comp_counts
+
+
+def test_synth_task_config_selects_generator():
+    from phiseg_tpu.data.synthetic import make_multiscale_arrays
+
+    cfg = small_cfg(data_identifier="synthetic").replace(
+        synth_task="multiscale", synth_n_train=8, synth_n_val=4, synth_n_test=4
+    )
+    d = get_dataset(cfg)
+    assert d.train.images.shape == (8, 32, 32)
+    assert d.test.images.shape[0] == 4
+    ex, _ = make_multiscale_arrays(8, (32, 32), 4, seed=0)
+    np.testing.assert_array_equal(d.train.images, ex)
+    with pytest.raises(ValueError):
+        get_dataset(cfg.replace(synth_task="bogus"))
+
+
+def test_synth_split_sizes_from_config():
+    cfg = small_cfg(data_identifier="synthetic").replace(
+        synth_n_train=10, synth_n_val=6, synth_n_test=5
+    )
+    d = get_dataset(cfg)
+    assert d.train.images.shape[0] == 10
+    assert d.validation.images.shape[0] == 6
+    assert d.test.images.shape[0] == 5
+    # enlarging the test split keeps the original images as a prefix
+    d_big = get_dataset(cfg.replace(synth_n_test=9))
+    np.testing.assert_array_equal(d_big.test.images[:5], d.test.images)
