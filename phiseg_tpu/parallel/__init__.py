@@ -6,6 +6,7 @@ from phiseg_tpu.parallel.mesh import (
     make_sharded_sample_fn,
     replicated_sharding,
     shard_array,
+    shard_host_batch,
     shard_train_step,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_array",
+    "shard_host_batch",
     "shard_train_step",
     "make_sharded_sample_fn",
 ]

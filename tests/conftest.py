@@ -18,6 +18,12 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process, big compiles)"
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
