@@ -43,6 +43,12 @@ def _bilinear_warp(img: jax.Array, ys: jax.Array, xs: jax.Array,
     (1-frac, frac), so this is bit-identical bilinear sampling at integer
     coords (identity warps stay exact) and costs ~1.6 GFLOP/image -- ~10 us
     of MXU time vs milliseconds of gather.
+
+    Memory: the intermediate T is (H, W, H, C) float32 -- O(H^2*W*C) HBM per
+    image, quadratic in resolution (128^2 mono: 8 MB/image; 192^2: ~40 MB;
+    256^2: ~128 MB). Fine at the LIDC 128^2 configs; higher-resolution
+    configs should expect HBM pressure here before anywhere else in the
+    step (mitigation: checkpoint/remat the warp or chunk over rows).
     """
     h, w = img.shape[0], img.shape[1]
     xw = jnp.maximum(0.0, 1.0 - jnp.abs(xs[..., None] - jnp.arange(w, dtype=xs.dtype)))

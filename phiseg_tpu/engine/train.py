@@ -136,6 +136,14 @@ def make_train_step(
     """
     if use_fused_ce is None:
         use_fused_ce = jax.default_backend() == "tpu"
+    if fold_by_step and augment_fn is not None and not fuse_aug:
+        # The two-program path splits aug_rng from the UNfolded base key on
+        # the host while fold_in(rng, state.step) happens inside the jitted
+        # step -- the aug key would silently be constant across steps.
+        raise ValueError(
+            "fold_by_step=True requires fuse_aug=True when an augment_fn is "
+            "given (host-side aug would receive a constant key every step)"
+        )
 
     def loss_fn(params, batch_stats, x, s_oh, rng):
         outputs, mutated = model.apply(

@@ -167,6 +167,19 @@ class ConvBlock(nn.Module):
                 epsilon=1e-3,
                 name="bn",
             )(x)
+        elif self.norm == "batch_bf16":
+            # Perf variant (no reference equivalent): batch statistics
+            # accumulated in the compute dtype instead of f32 -- halves the
+            # stat-reduction HBM traffic the round-2 profile flagged.
+            # Parameters and running stats stay f32 (flax param_dtype);
+            # checkpoint-compatible with norm="batch" (same "bn" scope).
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         elif self.norm == "group":
             num_groups = max(2, x.shape[-1] // 16)
             x = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name="gn")(x)

@@ -19,7 +19,7 @@ import sys
 import time
 
 
-def _setup(batch=None, dtype="bfloat16"):
+def _setup(batch=None, dtype="bfloat16", norm=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,6 +36,8 @@ def _setup(batch=None, dtype="bfloat16"):
     cfg = get_experiment("phiseg_7_5_synth").replace(compute_dtype=dtype)
     if batch:
         cfg = cfg.replace(batch_size=batch)
+    if norm:
+        cfg = cfg.replace(norm=norm)
     model = build_model(cfg)
     tx = make_optimizer(cfg)
     rng = jax.random.PRNGKey(0)
@@ -173,11 +175,38 @@ def sampler():
           f" | {flops / 1e9:.1f} GFLOP | MFU {100 * mfu:.1f}%")
 
 
+def norm_sweep():
+    """Full fused train step under each normalisation (VERDICT round-2 #2:
+    BN f32 stat reductions are a large non-MXU slice of the step; GN is a
+    legitimate parity variant the reference also ships,
+    tfwrapper/normalisation.py:17-36; batch_bf16 keeps BN but accumulates
+    stats in bf16)."""
+    import jax
+
+    from phiseg_tpu.engine.train import make_train_step
+
+    for norm in ("batch", "batch_bf16", "group", "instance", "none"):
+        cfg, model, tx, state, x, s, rng, aug = _setup(norm=norm)
+        step = make_train_step(model, cfg, tx, augment_fn=aug,
+                               fuse_aug=True, fold_by_step=True)
+        st = [state]
+
+        def run(i):
+            st[0], loss = step(st[0], x, s, rng)
+            return loss["total_loss"]
+
+        ms = _time_loop(run, n=20)
+        print(f"norm {norm:11s}: {ms:7.2f} ms/step = "
+              f"{1000 * cfg.batch_size / ms:7.1f} img/s")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("step-variants", "all"):
         step_variants()
     if which in ("batch-sweep", "all"):
         batch_sweep()
+    if which in ("norm-sweep", "all"):
+        norm_sweep()
     if which in ("sampler", "all"):
         sampler()

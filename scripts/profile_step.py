@@ -71,8 +71,6 @@ def report(outdir: str, top: int = 40):
     from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
     params = {"graph_viewer_options": {}}
-    for tool in ("op_profile", "overview_page^"):
-        pass
     data, _ = rtd.xspace_to_tool_data([xspace_path], "hlo_op_stats^", params)
     import json
 

@@ -74,7 +74,8 @@ def main():
                 t_max = t1 if t_max is None else max(t_max, t1)
             if n_events == 0:
                 continue
-            span_ms = (t_max - t_min) / 1e9
+            # guard: a line of only zero-duration events has t_max == t_min
+            span_ms = max((t_max - t_min) / 1e9, 1e-9)
             busy_ms = total_ps / 1e9
             print(f"\n== {plane.name} :: {line.name} | events={n_events} "
                   f"busy={busy_ms:.2f} ms span={span_ms:.2f} ms "

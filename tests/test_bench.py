@@ -24,5 +24,8 @@ def test_bench_json_contract():
         assert key in rec, rec
     assert rec["value"] > 0
     assert rec["unit"] == "images/sec"
-    assert "sample100_p50_ms_per_image" in rec["extra"]
+    # round-3 field honesty (VERDICT r2 #8): names say what they compute
+    assert "sample100_mean_pipelined_ms_per_image" in rec["extra"]
+    assert "sample100_p50_ms_per_image_synced" in rec["extra"]
     assert "sample100_ms_per_image_batched" in rec["extra"]
+    assert rec["extra"]["sustained_images_per_sec"] > 0
