@@ -181,3 +181,18 @@ def test_async_checkpointing_trainer(cfg):
     # resume round-trips through the async-written file
     t2 = Trainer(c)
     assert t2.init_step == 11
+
+
+def test_fold_by_step_rejects_host_aug(cfg):
+    """fold_by_step folds the rng inside the jitted step; an unfused host
+    augment_fn would silently get a constant key every step -- the API must
+    refuse the combination (engine/train.py)."""
+    from phiseg_tpu.engine import build_model, make_train_step
+    from phiseg_tpu.engine.train import make_optimizer
+
+    c = cfg.replace(augment_on_device=True)
+    model = build_model(c)
+    tx = make_optimizer(c)
+    with pytest.raises(ValueError, match="fuse_aug"):
+        make_train_step(model, c, tx, augment_fn=lambda k, x, s: (x, s),
+                        fuse_aug=False, fold_by_step=True)
