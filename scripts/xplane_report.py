@@ -31,14 +31,23 @@ def load_xspace(root: str):
 
 
 GROUPS = [
-    ("conv fwd/bwd (fusion w/ convolution)", r"convolution|conv"),
-    ("matmul/dot", r"dot|gemm"),
+    # ordered: first match wins. convert_reduce (BN stat fusions) MUST come
+    # before conv -- "conVert" contains "conv" and used to inflate the conv
+    # bucket (the round-2 report's 21.5% conv figure had ~3 ms/step of BN
+    # stats folded in).
+    ("batch-stat convert+reduce (BN)", r"convert_reduce|reduce_fusion"),
+    ("conv fwd/bwd", r"convolution"),
+    ("conv bwd-filter grads (3x3 kernel-shaped fusion)",
+     r"= \(?(f32|bf16)\[3,3,"),
+    ("matmul/dot", r"\bdot\b|gemm"),
     ("all-reduce/collective", r"all-reduce|all-gather|reduce-scatter|collective"),
     ("copy/transpose/layout", r"copy|transpose|bitcast|reshape"),
-    ("reduce (BN stats etc.)", r"reduce"),
+    ("reduce", r"reduce"),
     ("dynamic slice/update/gather/scatter", r"slice|gather|scatter|pad"),
     ("rng", r"rng|random"),
 ]
+
+_SHAPE = re.compile(r"(?:f32|bf16|s32|u32|pred|s8|u8)\[([\d,]*)\]\{([\d,]*)")
 
 
 def classify(name: str) -> str:
@@ -46,6 +55,15 @@ def classify(name: str) -> str:
     for label, pat in GROUPS:
         if re.search(pat, low):
             return label
+    # relayout fusions carry no telling op name: same dims appear with two
+    # different minor-to-major layouts (e.g. bf16[12,128,128,128]{3,2,1,0}
+    # -> {3,0,2,1}); XLA:TPU materialises these around conv fwd/bwd.
+    shapes = _SHAPE.findall(low)
+    layouts_by_dims = collections.defaultdict(set)
+    for dims, layout in shapes:
+        layouts_by_dims[dims].add(layout)
+    if any(len(v) > 1 for v in layouts_by_dims.values()):
+        return "copy/transpose/layout"
     return "other (elementwise fusions etc.)"
 
 
