@@ -2,6 +2,7 @@
 
 from phiseg_tpu.metrics.metrics import (
     dice_per_label,
+    ged_terms,
     generalised_energy_distance,
     ncc,
     pairwise_iou_distance,
@@ -10,6 +11,7 @@ from phiseg_tpu.metrics.metrics import (
 
 __all__ = [
     "dice_per_label",
+    "ged_terms",
     "generalised_energy_distance",
     "ncc",
     "pairwise_iou_distance",

@@ -95,6 +95,34 @@ def generalised_energy_distance(
     )
 
 
+def ged_terms(
+    sample_arr: jax.Array,
+    gt_arr: jax.Array,
+    nlabels: int,
+    label_range: Sequence[int] | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """The three mean terms of the GED^2 estimator, separately.
+
+    Returns (d_sy, d_ss, d_yy) where
+      d_sy = (1/NM)  sum d(s, y)   -- model-vs-annotator fit
+      d_ss = (1/N^2) sum d(s, s')  -- sample diversity (incl. self pairs)
+      d_yy = (1/M^2) sum d(y, y')  -- annotator diversity (incl. self pairs)
+    and GED^2 = 2*d_sy - d_ss - d_yy (`generalised_energy_distance`). A
+    model with perfectly calibrated uncertainty has d_ss == d_yy == d_sy;
+    the decomposition attributes a GED gap to over/under-diversity (d_ss vs
+    d_yy) vs plain mis-fit (d_sy). Diagnostic only -- the reference
+    (utils.py:294-322) computes the combined estimator.
+    """
+    if label_range is None:
+        label_range = tuple(range(nlabels))
+    n = sample_arr.shape[0]
+    m = gt_arr.shape[0]
+    d_sy = jnp.sum(pairwise_iou_distance(sample_arr, gt_arr, label_range, nlabels))
+    d_ss = jnp.sum(pairwise_iou_distance(sample_arr, sample_arr, label_range, nlabels))
+    d_yy = jnp.sum(pairwise_iou_distance(gt_arr, gt_arr, label_range, nlabels))
+    return d_sy / (n * m), d_ss / n**2, d_yy / m**2
+
+
 def ncc(a: jax.Array, v: jax.Array, zero_norm: bool = True) -> jax.Array:
     """Normalised cross-correlation of two maps (ref utils.py:103-118)."""
     a = a.reshape(-1).astype(jnp.float32)

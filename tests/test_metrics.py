@@ -7,6 +7,7 @@ import pytest
 
 from phiseg_tpu.metrics import (
     dice_per_label,
+    ged_terms,
     generalised_energy_distance,
     ncc,
     pairwise_iou_distance,
@@ -104,6 +105,24 @@ def test_ged_identical_distributions_near_zero():
                                       nlabels=1, label_range=(1,))
     # identical sample sets: 2E[d_sy] = E[d_ss] + E[d_yy] -> GED^2 = 0
     np.testing.assert_allclose(float(got), 0.0, atol=1e-5)
+
+
+def test_ged_terms_recompose(masks):
+    samples, gts = masks
+    d_sy, d_ss, d_yy = ged_terms(jnp.asarray(samples), jnp.asarray(gts),
+                                 nlabels=1, label_range=(1,))
+    ged = generalised_energy_distance(jnp.asarray(samples), jnp.asarray(gts),
+                                      nlabels=1, label_range=(1,))
+    np.testing.assert_allclose(
+        2 * float(d_sy) - float(d_ss) - float(d_yy), float(ged), rtol=1e-5)
+    # each term matches the numpy pair loops
+    n, m = samples.shape[0], gts.shape[0]
+    want_sy = sum(np_dist(samples[i], gts[j], (1,), 1)
+                  for i in range(n) for j in range(m)) / (n * m)
+    want_ss = sum(np_dist(samples[i], samples[j], (1,), 1)
+                  for i in range(n) for j in range(n)) / n**2
+    np.testing.assert_allclose(float(d_sy), want_sy, rtol=1e-5)
+    np.testing.assert_allclose(float(d_ss), want_ss, rtol=1e-5)
 
 
 def test_pairwise_iou_edge_cases():
