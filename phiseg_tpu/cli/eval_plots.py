@@ -24,16 +24,26 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
     from scipy import stats
 
     names = names or [f"exp{i}" for i in range(len(files))]
-    arrays = []
+    arrays, terms = [], []
     for f in files:
         with np.load(f) as z:
-            arr = z[list(z.keys())[0]]
+            # arr_0 = the positional result array (reference npz contract);
+            # ged npz may carry extra named keys (GED term decomposition)
+            arr = z["arr_0"] if "arr_0" in z else z[list(z.keys())[0]]
+            t = ({k: z[k] for k in ("d_sy", "d_ss", "d_yy")}
+                 if all(k in z for k in ("d_sy", "d_ss", "d_yy")) else None)
         if metric == "dice" and arr.ndim == 2:
             arr = arr[:, 1:].mean(axis=1)  # foreground mean (ref eval_dice_plot.py:29)
         arrays.append(np.asarray(arr).ravel())
+        terms.append(t)
 
-    for name, arr in zip(names, arrays):
+    for name, arr, t in zip(names, arrays, terms):
         log.info("%s %s: %.4f +- %.4f (n=%d)", metric, name, arr.mean(), arr.std(), len(arr))
+        if t is not None:
+            log.info("  GED terms %s: fit d_sy %.4f | sample div d_ss %.4f | "
+                     "annotator div d_yy %.4f (ss/yy %.3f)", name,
+                     t["d_sy"].mean(), t["d_ss"].mean(), t["d_yy"].mean(),
+                     t["d_ss"].mean() / max(t["d_yy"].mean(), 1e-12))
 
     results = {"means": {n: float(a.mean()) for n, a in zip(names, arrays)},
                "stds": {n: float(a.std()) for n, a in zip(names, arrays)},

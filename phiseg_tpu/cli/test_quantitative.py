@@ -63,7 +63,7 @@ def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
 
     from phiseg_tpu.engine.validation import pad_to_batch
 
-    ged_list, ncc_list = [], []
+    ged_list, ncc_list, term_list = [], [], []
     t0 = time.time()
     for b0 in range(0, n, batch):
         b1 = min(b0 + batch, n)
@@ -71,19 +71,29 @@ def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
         x = np.asarray(images[b0:b1]).astype(np.float32)[..., None]
         ann = np.transpose(np.asarray(labels[b0:b1]).astype(np.int32), (0, 3, 1, 2))
         x, ann = (pad_to_batch(a, batch) for a in (x, ann))
-        g, nc = vfn(variables, jnp.asarray(x), jnp.asarray(ann),
-                    jax.random.fold_in(rng, b0))
+        g, nc, terms = vfn(variables, jnp.asarray(x), jnp.asarray(ann),
+                           jax.random.fold_in(rng, b0))
         ged_list.extend(np.asarray(g)[:n_real].tolist())
         ncc_list.extend(np.asarray(nc)[:n_real].tolist())
+        term_list.append(np.asarray(terms)[:n_real])
         log.info("%d/%d images (%.2f s/img)", b1, n, (time.time() - t0) / b1)
 
     ged_arr = np.asarray(ged_list)
     ncc_arr = np.asarray(ncc_list)
+    term_arr = np.concatenate(term_list, axis=0)  # (n, 3): d_sy, d_ss, d_yy
     log.info("-- GED: %.4f +- %.4f", ged_arr.mean(), ged_arr.std())
     log.info("-- NCC: %.4f +- %.4f", ncc_arr.mean(), ncc_arr.std())
+    log.info("-- GED terms: fit d_sy %.4f | sample diversity d_ss %.4f | "
+             "annotator diversity d_yy %.4f (ss/yy %.3f)",
+             term_arr[:, 0].mean(), term_arr[:, 1].mean(),
+             term_arr[:, 2].mean(),
+             term_arr[:, 1].mean() / max(term_arr[:, 2].mean(), 1e-12))
 
-    # same artefact names as the reference (:80-81)
-    np.savez(os.path.join(log_dir, f"ged{num_samples}_{tag}.npz"), ged_arr)
+    # same artefact names as the reference (:80-81); the positional array
+    # stays arr_0 (the reference contract eval_plots reads) and the GED term
+    # decomposition rides along as named extras.
+    np.savez(os.path.join(log_dir, f"ged{num_samples}_{tag}.npz"), ged_arr,
+             d_sy=term_arr[:, 0], d_ss=term_arr[:, 1], d_yy=term_arr[:, 2])
     np.savez(os.path.join(log_dir, f"ncc{num_samples}_{tag}.npz"), ncc_arr)
     return ged_arr, ncc_arr
 

@@ -18,6 +18,7 @@ from phiseg_tpu.engine.config import ExperimentConfig
 from phiseg_tpu.engine.objective import phiseg_objective
 from phiseg_tpu.metrics import (
     dice_per_label,
+    ged_terms,
     generalised_energy_distance,
     variance_ncc_dist,
 )
@@ -43,13 +44,19 @@ def pad_to_batch(arr, batch: int):
 
 def make_quant_eval_fn(model: SegVAE, cfg: ExperimentConfig, num_samples: int,
                        mesh=None):
-    """Jitted fn(variables, x, s_annotators, rng) -> (ged (B,), sncc (B,)).
+    """Jitted fn(variables, x, s_annotators, rng) ->
+    (ged (B,), sncc (B,), ged_terms (B, 3)).
 
     The quantitative-eval workload (ref phiseg_test_quantitative.py:39-66)
     without the Dice/ELBO terms the validation program also computes. With a
     mesh, the SAMPLE axis is sharded across devices (each chip decodes its
     share of draws from the replicated encoder cache; GSPMD inserts the
     cross-shard collectives for the pairwise-IoU reductions).
+
+    ged_terms are the estimator's three mean terms (d_sy, d_ss, d_yy;
+    GED^2 = 2*d_sy - d_ss - d_yy) from the SAME pairwise distances the GED
+    uses -- a free diagnostic separating fit from diversity calibration
+    (metrics.ged_terms); the reference computes only the combined number.
     """
     nlabels = cfg.nlabels
     label_range = tuple(range(1, nlabels))
@@ -75,14 +82,17 @@ def make_quant_eval_fn(model: SegVAE, cfg: ExperimentConfig, num_samples: int,
         probs = jax.vmap(draw)(keys)  # (S,B,H,W,C)
         probs_b = jnp.moveaxis(probs, 0, 1)
         masks_b = jnp.argmax(probs_b, axis=-1)
-        ged_b = jax.vmap(
-            lambda sm, gt: generalised_energy_distance(
+
+        def per_image(sm, gt):
+            d_sy, d_ss, d_yy = ged_terms(
                 sm, gt, nlabels=nlabels - 1, label_range=label_range
             )
-        )(masks_b, s_annotators)
+            return 2.0 * d_sy - d_ss - d_yy, jnp.stack([d_sy, d_ss, d_yy])
+
+        ged_b, terms_b = jax.vmap(per_image)(masks_b, s_annotators)
         gt_oh = one_hot(s_annotators, nlabels)
         sncc_b = jax.vmap(variance_ncc_dist)(probs_b, gt_oh)
-        return ged_b, sncc_b
+        return ged_b, sncc_b, terms_b
 
     return quant
 

@@ -11,6 +11,11 @@ ref :47-54) and prints the per-image-mean terms plus the diversity
 calibration ratio d_ss/d_yy. Used for the round-3 multi-scale-ambiguity
 analysis in RESULTS.md.
 
+NOTE: cli.test_quantitative now embeds the same decomposition in every
+ged npz it writes (keys d_sy/d_ss/d_yy alongside arr_0), so fresh evals
+get this for free; this standalone script is for checkpoints whose npz
+predate that, or for ad-hoc sample counts without rewriting artifacts.
+
 Usage:
   python scripts/ged_decomposition.py LOGDIR [LOGDIR ...] \
       [--samples 50] [--batch 8] [--synth-n-test N] [--json OUT.json]
