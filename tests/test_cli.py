@@ -58,8 +58,12 @@ def test_quantitative_cli(trained_logdir):
                         batch=4, max_images=4)
     assert ged.shape == (4,) and np.isfinite(ged).all()
     assert ncc.shape == (4,)
-    assert os.path.exists(os.path.join(trained_logdir, "ged4_best_ged.npz"))
     assert os.path.exists(os.path.join(trained_logdir, "ncc4_best_ged.npz"))
+    # ged npz: positional arr_0 (reference contract) + term decomposition
+    with np.load(os.path.join(trained_logdir, "ged4_best_ged.npz")) as z:
+        np.testing.assert_allclose(z["arr_0"], ged)
+        np.testing.assert_allclose(2 * z["d_sy"] - z["d_ss"] - z["d_yy"],
+                                   ged, rtol=1e-4, atol=1e-5)
 
 
 def test_quantitative_cli_mesh_matches_single_device(trained_logdir):
