@@ -32,6 +32,9 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
             arr = z["arr_0"] if "arr_0" in z else z[list(z.keys())[0]]
             t = ({k: z[k] for k in ("d_sy", "d_ss", "d_yy")}
                  if all(k in z for k in ("d_sy", "d_ss", "d_yy")) else None)
+            if t is not None and "n_samples" in z and "n_annotators" in z:
+                t["n_samples"] = int(z["n_samples"])
+                t["n_annotators"] = int(z["n_annotators"])
         if metric == "dice" and arr.ndim == 2:
             arr = arr[:, 1:].mean(axis=1)  # foreground mean (ref eval_dice_plot.py:29)
         arrays.append(np.asarray(arr).ravel())
@@ -44,6 +47,20 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
                      "annotator div d_yy %.4f (ss/yy %.3f)", name,
                      t["d_sy"].mean(), t["d_ss"].mean(), t["d_yy"].mean(),
                      t["d_ss"].mean() / max(t["d_yy"].mean(), 1e-12))
+            if "n_samples" in t:
+                # finite-N/M estimator floor: a model that samples EXACTLY
+                # from the annotator distribution has E[d_sy]=d-bar,
+                # E[d_ss]=(1-1/N)d-bar, E[d_yy]=(1-1/M)d-bar (self-pairs are
+                # zero-distance), so E[GED^2] = (1/N + 1/M)*d-bar with
+                # d-bar = d_yy/(1-1/M). The estimator itself matches the
+                # reference (utils.py:294-322); the floor is the honest
+                # yardstick for "how far from perfectly calibrated".
+                n_s, n_a = t["n_samples"], t["n_annotators"]
+                dbar = t["d_yy"].mean() / max(1.0 - 1.0 / n_a, 1e-12)
+                floor = (1.0 / n_s + 1.0 / n_a) * dbar
+                log.info("  calibrated-model GED^2 floor (N=%d, M=%d): %.4f "
+                         "(achieved %.4f = floor + %.4f)",
+                         n_s, n_a, floor, arr.mean(), arr.mean() - floor)
 
     results = {"means": {n: float(a.mean()) for n, a in zip(names, arrays)},
                "stds": {n: float(a.std()) for n, a in zip(names, arrays)},

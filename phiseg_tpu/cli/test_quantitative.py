@@ -91,9 +91,15 @@ def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
 
     # same artefact names as the reference (:80-81); the positional array
     # stays arr_0 (the reference contract eval_plots reads) and the GED term
-    # decomposition rides along as named extras.
+    # decomposition rides along as named extras. n_samples/n_annotators let
+    # downstream aggregation compute the finite-N/M estimator floor: a model
+    # sampling exactly from the annotator distribution still scores
+    # GED^2 = (1/N + 1/M) * d-bar because d_ss/d_yy average over self-pairs.
+    n_annotators = int(np.asarray(labels).shape[-1])
     np.savez(os.path.join(log_dir, f"ged{num_samples}_{tag}.npz"), ged_arr,
-             d_sy=term_arr[:, 0], d_ss=term_arr[:, 1], d_yy=term_arr[:, 2])
+             d_sy=term_arr[:, 0], d_ss=term_arr[:, 1], d_yy=term_arr[:, 2],
+             n_samples=np.asarray(num_samples),
+             n_annotators=np.asarray(n_annotators))
     np.savez(os.path.join(log_dir, f"ncc{num_samples}_{tag}.npz"), ncc_arr)
     return ged_arr, ncc_arr
 

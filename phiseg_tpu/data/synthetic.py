@@ -152,9 +152,93 @@ def make_multiscale_arrays(
     return images, labels
 
 
+def _bilerp_grid(coarse: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinearly upsample a (G,G) grid to (h,w). Host-side data generation
+    only (numpy gathers are fine here; the TPU-hot-path warp rule in
+    data/augment_device.py does not apply to one-time dataset synthesis)."""
+    g = coarse.shape[0]
+    ys = np.linspace(0.0, g - 1.0, h)
+    xs = np.linspace(0.0, g - 1.0, w)
+    y0 = np.minimum(np.floor(ys).astype(np.int64), g - 2)
+    x0 = np.minimum(np.floor(xs).astype(np.int64), g - 2)
+    ty = (ys - y0)[:, None].astype(np.float32)
+    tx = (xs - x0)[None, :].astype(np.float32)
+    c00 = coarse[np.ix_(y0, x0)]
+    c01 = coarse[np.ix_(y0, x0 + 1)]
+    c10 = coarse[np.ix_(y0 + 1, x0)]
+    c11 = coarse[np.ix_(y0 + 1, x0 + 1)]
+    return (c00 * (1 - ty) * (1 - tx) + c01 * (1 - ty) * tx
+            + c10 * ty * (1 - tx) + c11 * ty * tx).astype(np.float32)
+
+
+def make_boundary_field_arrays(
+    n: int, hw: tuple, num_annotators: int = 4, seed: int = 0
+):
+    """Boundary-FIELD ambiguity task: the disagreement between annotators is
+    a smooth random scalar field, not a scalar.
+
+    Motivation (round-3 negative result): on both the nested and the
+    multiscale tasks the per-image annotator distribution has LOW conditional
+    dimensionality (1 threshold, resp. 3 inclusion bits + ~4 thresholds), so
+    a 6-dim global latent (ProbUNet, ref experiments/probunet.py zdim0=6)
+    plus an image-conditioned decoder can index its support and wins GED^2.
+    Here each annotator draws an independent 8x8 Gaussian grid, bilinearly
+    upsampled to (H,W), and thresholds the shared soft lesion field at
+    `0.5 + field(y,x)` -- i.e. the annotator-specific level set is displaced
+    by a smooth random field with **64 independent dims per annotator**,
+    unpredictable from the image. A 6-dim latent cannot cover that support;
+    PHiSeg's per-level SPATIAL latent grids (paper sec. 2; priors.py:122-126)
+    are exactly shaped for it (the 8x8 correlation length matches its coarse
+    latent resolutions). This is the regime the hierarchy is for.
+
+    Masks stay conditionally independent across annotators given the image
+    (both model families' generative assumption); no empty masks. Same
+    contract as make_synthetic_arrays: images (N,H,W) float ~[-0.5,0.5],
+    labels (N,H,W,A) uint8.
+    """
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    images = np.zeros((n, h, w), np.float32)
+    labels = np.zeros((n, h, w, num_annotators), np.uint8)
+
+    for i in range(n):
+        bg = rng.randn(h // 8 + 1, w // 8 + 1).astype(np.float32)
+        bg = np.kron(bg, np.ones((8, 8), np.float32))[:h, :w]
+        img = 0.08 * bg + 0.02 * rng.randn(h, w).astype(np.float32)
+
+        # one large irregular lesion, always annotated
+        cy = rng.uniform(0.35 * h, 0.65 * h)
+        cx = rng.uniform(0.35 * w, 0.65 * w)
+        r = rng.uniform(0.14 * min(h, w), 0.22 * min(h, w))
+        dy, dx = yy - cy, xx - cx
+        dist = np.sqrt(dy * dy + dx * dx) + 1e-6
+        ang = np.arctan2(dy, dx)
+        r_eff = r
+        for k_h in (2, 3):
+            r_eff = r_eff * (1.0 + rng.uniform(0.04, 0.12)
+                             * np.sin(k_h * ang + rng.uniform(0, 2 * np.pi)))
+        soft = np.exp(-np.maximum(dist / r_eff, 0.0) ** 2 * 1.2).astype(np.float32)
+
+        img = img + 0.5 * soft
+        images[i] = np.clip(img - img.mean(), -0.5, 0.5)
+
+        for a in range(num_annotators):
+            # amp 0.18 puts data-level annotator diversity at d_yy ~= 0.25
+            # (measured over 48 images at 128^2), matching the multiscale
+            # task's 0.263 so GED magnitudes are comparable across tasks
+            field = _bilerp_grid(
+                rng.randn(8, 8).astype(np.float32) * 0.18, h, w)
+            labels[i, :, :, a] = (soft > 0.5 + field).astype(np.uint8)
+
+    return images, labels
+
+
 _TASKS = {
     "nested": make_synthetic_arrays,
     "multiscale": make_multiscale_arrays,
+    "bfield": make_boundary_field_arrays,
 }
 
 

@@ -109,6 +109,31 @@ for _name, _base_cfg in (
     )
 
 
+# -- boundary-FIELD ambiguity benchmark (round-3 follow-up to the multiscale
+# negative result): annotator disagreement is a smooth random 8x8-grid
+# threshold field (64 conditional dims per annotator, unpredictable from the
+# image) -- beyond a zdim=6 global latent's support, matched to PHiSeg's
+# spatial latent grids. See data/synthetic.py make_boundary_field_arrays.
+_BF = dict(
+    data_identifier="synthetic",
+    synth_task="bfield",
+    synth_n_train=512,
+    synth_n_val=64,
+    synth_n_test=256,
+)
+for _name, _base_cfg in (
+    ("phiseg_7_5_bf", phiseg_7_5),
+    ("phiseg_7_1_bf", phiseg_7_1),
+    ("probunet_bf", probunet),
+    ("detunet_bf", detunet),
+):
+    _REGISTRY[_name] = _base_cfg.replace(
+        experiment_name=_name,
+        log_dir_name=_base_cfg.log_dir_name + "_bf",
+        **_BF,
+    )
+
+
 def get_experiment(name: str) -> ExperimentConfig:
     if name not in _REGISTRY:
         raise KeyError(

@@ -64,6 +64,9 @@ def test_quantitative_cli(trained_logdir):
         np.testing.assert_allclose(z["arr_0"], ged)
         np.testing.assert_allclose(2 * z["d_sy"] - z["d_ss"] - z["d_yy"],
                                    ged, rtol=1e-4, atol=1e-5)
+        # estimator-floor metadata for downstream aggregation
+        assert int(z["n_samples"]) == 4
+        assert int(z["n_annotators"]) >= 1
 
 
 def test_quantitative_cli_mesh_matches_single_device(trained_logdir):

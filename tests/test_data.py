@@ -394,6 +394,51 @@ def test_multiscale_has_spatially_independent_disagreement():
     assert disagree > 0.5, comp_counts
 
 
+# --- boundary-field ambiguity synthetic task ---------------------------------
+
+
+def test_bfield_contract_and_determinism():
+    from phiseg_tpu.data.synthetic import make_boundary_field_arrays
+
+    x1, y1 = make_boundary_field_arrays(4, (64, 64), 4, seed=3)
+    x2, y2 = make_boundary_field_arrays(4, (64, 64), 4, seed=3)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    assert x1.shape == (4, 64, 64) and x1.dtype == np.float32
+    assert y1.shape == (4, 64, 64, 4) and y1.dtype == np.uint8
+    assert x1.min() >= -0.5 and x1.max() <= 0.5
+    assert set(np.unique(y1)) <= {0, 1}
+    # no empty masks: every annotator marks the (single, large) lesion
+    assert (y1.sum(axis=(1, 2)) > 0).all()
+
+
+def test_bfield_disagreement_is_boundary_localised_and_high_dim():
+    """The point of the task: annotator disagreement lives in a smooth
+    FIELD along the lesion boundary (high conditional dimensionality), not
+    in a global size/threshold axis."""
+    from phiseg_tpu.data.synthetic import make_boundary_field_arrays
+
+    _, y = make_boundary_field_arrays(12, (64, 64), 4, seed=0)
+    inter = y.all(axis=-1)   # pixels all annotators mark
+    union = y.any(axis=-1)   # pixels any annotator marks
+    band = union & ~inter    # disagreement band
+    assert (band.sum(axis=(1, 2)) > 0).all()
+    # a solid consensus core exists (~0.48 of the union at both 64^2 and
+    # the production 128^2) -- disagreement is a band, not the whole lesion
+    assert (inter.sum() / union.sum()) > 0.4
+    # high-dim field, not a nested-threshold axis: for a scalar threshold
+    # model, per-image masks would be totally ordered by inclusion (every
+    # pair nested); the field makes most pairs non-nested.
+    n_pairs = n_nested = 0
+    for i in range(12):
+        for a in range(4):
+            for b in range(a + 1, 4):
+                ya, yb = y[i, :, :, a].astype(bool), y[i, :, :, b].astype(bool)
+                n_pairs += 1
+                n_nested += int((ya >= yb).all() or (yb >= ya).all())
+    assert n_nested / n_pairs < 0.2, (n_nested, n_pairs)
+
+
 def test_synth_task_config_selects_generator():
     from phiseg_tpu.data.synthetic import make_multiscale_arrays
 
