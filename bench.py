@@ -38,6 +38,43 @@ ASSUMED_TF1_IMAGES_PER_SEC = 60.0
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 FLOP/s per chip
 
 
+def _backend_watchdog(timeout_s: float) -> None:
+    """Fail fast if the JAX backend is unreachable.
+
+    The axon tunnel can go unavailable for an hour at a time (observed
+    2026-08-17: `jax.devices()` blocks indefinitely inside backend init).
+    The bench contract is "print ONE JSON line", so a dead tunnel must
+    produce an explicit zero-valued line promptly, not a silent hang of the
+    driver. Backend init is probed from a daemon thread; on timeout we
+    print the error line and hard-exit (os._exit — the probe thread is
+    stuck in an uninterruptible RPC, sys.exit would just hang again).
+    """
+    import os
+    import threading
+
+    ready = threading.Event()
+
+    def probe():
+        import jax
+
+        try:
+            jax.devices()
+        finally:
+            ready.set()  # raised errors surface in main-thread jax use
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ready.wait(timeout_s):
+        print(json.dumps({
+            "metric": "phiseg_7_5 train throughput (TPU backend unavailable)",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "extra": {"error": "backend init exceeded %.0fs (tunnel down?)"
+                      % timeout_s},
+        }))
+        os._exit(1)
+
+
 def _step_flops(step_fn, *args) -> float:
     """XLA-estimated FLOPs of one compiled train step (fwd+bwd+optimiser)."""
     jitted = getattr(step_fn, "jitted", step_fn)
@@ -75,6 +112,8 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="shrunk model for CPU smoke tests of the bench itself")
     args = p.parse_args(argv)
+
+    _backend_watchdog(180.0)
 
     import jax
     import jax.numpy as jnp
