@@ -115,6 +115,16 @@ def main(argv=None):
 
     _backend_watchdog(180.0)
 
+    # Structural exclusion vs running trainers/evals (utils/tpu_lock.py):
+    # wait (bounded) for any live TPU job to finish; if one still holds the
+    # lock after the wait, the measurement is contended and the JSON line
+    # says so explicitly instead of recording silent garbage.
+    from phiseg_tpu.utils.tpu_lock import TpuLock, wait_for_free
+
+    lock_info = wait_for_free(max_wait_s=900.0)
+    bench_lock = TpuLock("bench")
+    bench_lock.acquire(wait=False)  # advisory; skip if a holder persists
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -146,7 +156,12 @@ def main(argv=None):
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, cfg, rng, tx)
     aug = make_augment_fn(cfg.augmentation_options, cfg.nlabels)
-    step_fn = make_train_step(model, cfg, tx, augment_fn=aug)
+    # fold_by_step=True: identical program to the production Trainer -- the
+    # per-step key is fold_in(rng, state.step) ON DEVICE, so every loop
+    # below passes one constant base key (no per-step host fold_in dispatch,
+    # which costs ~30 ms each through the tunnel and made the previous
+    # sustained numbers understate the real loop).
+    step_fn = make_train_step(model, cfg, tx, augment_fn=aug, fold_by_step=True)
 
     hw = cfg.image_hw
     x_np, y_np = make_synthetic_arrays(cfg.batch_size, hw, cfg.num_labels_per_subject, seed=0)
@@ -156,13 +171,13 @@ def main(argv=None):
     # FLOP count of the compiled step, before the timing loop (AOT lowering)
     flops_per_step = _step_flops(step_fn, state, x, s, rng)
 
-    # training throughput
+    # training throughput (constant base key; the step folds in state.step)
     for i in range(warmup):
-        state, loss = step_fn(state, x, s, jax.random.fold_in(rng, i))
+        state, loss = step_fn(state, x, s, rng)
     jax.block_until_ready(loss["total_loss"])
     t0 = time.perf_counter()
     for i in range(steps):
-        state, loss = step_fn(state, x, s, jax.random.fold_in(rng, warmup + i))
+        state, loss = step_fn(state, x, s, rng)
     jax.block_until_ready(loss["total_loss"])
     dt = time.perf_counter() - t0
     images_per_sec = cfg.batch_size * steps / dt
@@ -227,7 +242,7 @@ def main(argv=None):
         t0 = time.perf_counter()
         for i in range(sustained_steps):
             xb_, sb_ = wire(*prefetch.next())
-            state, loss = step_fn(state, xb_, sb_, jax.random.fold_in(rng, 9000 + i))
+            state, loss = step_fn(state, xb_, sb_, rng)
             if (i + 1) % 100 == 0:
                 _ = float(jax.device_get(loss["total_loss"]))
         jax.block_until_ready(loss["total_loss"])
@@ -267,8 +282,14 @@ def main(argv=None):
             "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu is not None else None,
             "device": str(jax.devices()[0]),
             "assumed_tf1_baseline_images_per_sec": ASSUMED_TF1_IMAGES_PER_SEC,
+            # tpu_lock_held_by is non-null ONLY if another TPU job was
+            # still running when the bounded wait expired -- i.e. the
+            # numbers above were measured on a contended chip.
+            "tpu_lock_wait_s": lock_info["waited_s"],
+            "tpu_lock_held_by": lock_info["held_by"],
         },
     }
+    bench_lock.release()
     print(json.dumps(result))
 
 

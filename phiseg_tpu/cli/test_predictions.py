@@ -102,8 +102,11 @@ def main(argv=None):
     p.add_argument("--synth-n-test", type=int, default=None,
                    help="enlarge the synthetic test split for this eval")
     a = p.parse_args(argv)
-    evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images, mesh=a.mesh,
-             synth_n_test=a.synth_n_test)
+    from phiseg_tpu.utils.tpu_lock import TpuLock
+
+    with TpuLock(f"eval:pred:{os.path.basename(a.log_dir.rstrip('/'))}"):
+        evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images,
+                 mesh=a.mesh, synth_n_test=a.synth_n_test)
 
 
 if __name__ == "__main__":

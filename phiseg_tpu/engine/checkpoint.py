@@ -50,8 +50,9 @@ class CheckpointManager:
         on this 1-vCPU host a ~200MB state costs ~1s serialise + write while
         the main thread is mostly idle on tunnel I/O). Saves are processed
         in submission order by ONE worker, so tag semantics and the
-        hardlink multi-tag optimisation are unchanged. Call wait() to drain
-        (restore() and close() do)."""
+        hardlink multi-tag optimisation are unchanged. wait() drains the
+        queue (restore() calls it); close() drains AND joins the worker
+        thread for shutdown."""
         import time
 
         self.log_dir = log_dir
@@ -140,7 +141,10 @@ class CheckpointManager:
                 try:
                     if item is None:
                         return
-                    self._save_sync(*item)
+                    if callable(item):
+                        item()  # submit()-ed follow-up task
+                    else:
+                        self._save_sync(*item)
                 except Exception as e:  # surfaced on the next save()/wait()
                     self._worker_error = e
                 finally:
@@ -149,10 +153,35 @@ class CheckpointManager:
         self._worker = threading.Thread(target=run, daemon=True, name="ckpt-writer")
         self._worker.start()
 
+    def submit(self, fn) -> None:
+        """Run fn AFTER every previously-enqueued write has published
+        (immediately in sync mode). The single ordered worker queue is the
+        durability barrier: a metadata record submitted here (e.g. the
+        trainer's best_metrics.json) can never claim checkpoints whose
+        writes were still pending when the process died."""
+        if self._async:
+            self._ensure_worker()
+            self._queue.put(fn)
+        else:
+            fn()
+
     def wait(self):
         """Drain pending async writes; re-raise any worker error."""
         if self._queue is not None:
             self._queue.join()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
+
+    def close(self):
+        """Shut down the async writer: drain the queue, join the thread,
+        re-raise any worker error. Idempotent; no-op in sync mode."""
+        if self._worker is not None:
+            self._queue.put(None)
+            self._queue.join()
+            self._worker.join()
+            self._worker = None
+            self._queue = None
         if self._worker_error is not None:
             err, self._worker_error = self._worker_error, None
             raise err

@@ -76,13 +76,23 @@ class _Prefetcher:
             pass
 
 
-def _lr_at(schedule, step: int) -> float:
-    """Largest-key-<=-step lookup (ref utils.py:70-84 find_floor_in_list)."""
-    val = None
-    for k in sorted(schedule):
-        if step >= k or val is None:
-            val = schedule[k]
-    return float(val)
+def _make_host_lr_fn(schedule):
+    """Host-side learning-rate lookup for logging, built from the SAME
+    `lr_schedule_from_dict` the optimiser uses (single source of truth; the
+    two used to be parallel implementations that could drift). The schedule
+    closure is built and evaluated under the host CPU backend so each log
+    line costs microseconds, not a ~30ms tunnelled-TPU dispatch."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    from phiseg_tpu.engine.train import lr_schedule_from_dict
+
+    with jax.default_device(cpu):
+        fn = lr_schedule_from_dict(dict(schedule))
+
+    def host_lr(step: int) -> float:
+        with jax.default_device(cpu):
+            return float(fn(step))
+
+    return host_lr
 
 
 class Trainer:
@@ -162,6 +172,7 @@ class Trainer:
 
         self.writer = SummaryWriter(self.log_dir)
         self.metrics_path = os.path.join(self.log_dir, "metrics.jsonl")
+        self._host_lr = _make_host_lr_fn(cfg.lr_schedule)
 
     # ------------------------------------------------------------------
 
@@ -193,8 +204,14 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         prefetch = _Prefetcher(data.train, cfg.batch_size)
         from phiseg_tpu.utils.profiling import StepProfiler
+        from phiseg_tpu.utils.tpu_lock import TpuLock
 
         profiler = StepProfiler()
+        # Advisory exclusion vs bench.py / other TPU jobs on this one-chip
+        # VM (see utils/tpu_lock.py). Held for the whole loop; released in
+        # the finally below even on exceptions.
+        tpu_lock = TpuLock(f"train:{cfg.experiment_name}")
+        tpu_lock.acquire()
         try:
             t_last = time.perf_counter()
             for step in range(self.init_step, num_iter):
@@ -227,7 +244,7 @@ class Trainer:
                     scalars = {f"batch_{k}": float(v) for k, v in loss_dict.items()}
                     scalars["images_per_sec"] = ips
                     # lr schedule lookup (ref logs learning_rate, :720)
-                    scalars["learning_rate"] = _lr_at(cfg.lr_schedule, step)
+                    scalars["learning_rate"] = self._host_lr(step)
                     self.writer.scalars(scalars, step)
                     self.writer.flush()
                     write_metrics_jsonl(self.metrics_path, step, scalars)
@@ -239,13 +256,32 @@ class Trainer:
                 if step % cfg.validation_frequency == 0 and step > self.init_step:
                     self.do_validation(data, step)
                     t_last = time.perf_counter()  # exclude validation from img/s
+            # Always persist the final state (normal completion only --
+            # after a FloatingPointError the live state may be non-finite
+            # and must NOT overwrite 'latest'): without this, up to
+            # validation_frequency-1 trailing steps (or a whole short
+            # resumed run) would be silently discarded.
+            self.ckpt.save(jax.device_get(self.state), "latest")
         finally:
             prefetch.stop()
-        # Always persist the final state: without this, up to
-        # validation_frequency-1 trailing steps (or a whole short resumed
-        # run) would be silently discarded.
-        self.ckpt.save(jax.device_get(self.state), "latest")
-        self.ckpt.wait()  # drain async checkpoint writes before returning
+            # Drain the daemon writer thread even on exceptions: checkpoint
+            # writes queued at the last validation would otherwise be
+            # silently dropped on a mid-run crash (incl. the
+            # FloatingPointError above, whose message promises a usable
+            # checkpoint). If an exception is already in flight, a writer
+            # error is logged instead of raised so it can't mask the
+            # original failure.
+            import sys
+
+            unwinding = sys.exc_info()[0] is not None
+            try:
+                self.ckpt.wait()
+            except Exception:
+                if not unwinding:
+                    raise
+                log.exception("checkpoint writer failed during error unwind")
+            finally:
+                tpu_lock.release()
         return self.state
 
     # ------------------------------------------------------------------
@@ -337,12 +373,24 @@ class Trainer:
             self.ckpt.save(host_state, "best_ncc")
             improved = True
         if improved and getattr(self.cfg, "persist_best_metrics", True):
-            import json as _json
+            # Publish best_metrics.json ONLY after the best_* checkpoint
+            # writes above are durable: it rides the same ordered writer
+            # queue (ckpt.submit), so a crash can never leave a json that
+            # claims best values whose checkpoints never landed -- which
+            # would permanently block those best_* tags from being
+            # re-saved after resume.
+            best_snapshot = dict(self.best)
+            path = self._best_path
 
-            tmp = self._best_path + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(self.best, f)
-            os.replace(tmp, self._best_path)
+            def _publish_best(best=best_snapshot, path=path):
+                import json as _json
+
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(best, f)
+                os.replace(tmp, path)
+
+            self.ckpt.submit(_publish_best)
 
         scalars = {
             "validation_dice_mean_score": mean_dice,

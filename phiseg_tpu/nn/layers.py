@@ -168,11 +168,16 @@ class ConvBlock(nn.Module):
                 name="bn",
             )(x)
         elif self.norm == "batch_bf16":
-            # Perf variant (no reference equivalent): batch statistics
-            # accumulated in the compute dtype instead of f32 -- halves the
-            # stat-reduction HBM traffic the round-2 profile flagged.
-            # Parameters and running stats stay f32 (flax param_dtype);
-            # checkpoint-compatible with norm="batch" (same "bn" scope).
+            # Perf variant (no reference equivalent): BatchNorm with
+            # dtype=self.dtype so the NORMALISED OUTPUT stays in the compute
+            # dtype. Note flax's _compute_stats forces float32 reductions
+            # regardless of dtype, so the batch statistics themselves are
+            # still accumulated in f32 -- any speedup comes from the bf16
+            # output/elementwise tail, NOT from the stat reduction (the
+            # round-3 norm sweep measured it ~equal to "batch", consistent
+            # with this). Parameters and running stats stay f32
+            # (param_dtype); checkpoint-compatible with norm="batch"
+            # (same "bn" scope).
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.99,

@@ -5,29 +5,40 @@
 # headline claim "PHiSeg > ProbUNet on GED^2/S_NCC" (README.md:53-54):
 # each annotator displaces the lesion boundary by a smooth random 8x8
 # threshold field, 64 conditional dims per annotator, beyond a zdim=6
-# global latent's support (DESIGN.md "counting dimensions"). Training is
-# interruptible: cli.train auto-resumes from the latest checkpoint and
-# exits immediately when already at --num-iter. Test split n=256, eval
-# protocol per the reference (GED/NCC @ 50 samples from best_ged, Dice of
-# mean softmax over 100 samples from best_dice;
-# phiseg_test_quantitative.py:24, phiseg_test_predictions.py:40).
-set -euo pipefail
+# global latent's support (DESIGN.md "counting dimensions").
+#
+# Structure: each family trains THEN evals immediately (test split n=256,
+# reference protocol: GED/NCC @ 50 samples from best_ged, Dice of mean
+# softmax over 100 samples from best_dice; phiseg_test_quantitative.py:24,
+# phiseg_test_predictions.py:40), with the decisive pair
+# (phiseg_7_5 vs probunet) FIRST -- so an interruption at any point leaves
+# completed families fully evaluated rather than round 3's
+# all-trained/none-evaled state. cli.train auto-resumes and exits
+# immediately when already at --num-iter, so re-running is cheap.
+set -uo pipefail
 REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 export PYTHONPATH="${REPO_ROOT}:${PYTHONPATH:-}"
 export PHISEG_LOG_ROOT="${PHISEG_LOG_ROOT:-${REPO_ROOT}/logs}"
 STEPS="${1:-24000}"
-
-for EXP in phiseg_7_5_bf probunet_bf phiseg_7_1_bf detunet_bf; do
-  python -m phiseg_tpu.cli.train "${EXP}" --num-iter "${STEPS}" \
-    --no-image-summaries --no-histogram-summaries
-done
+NIMG="${2:-256}"
 
 L() { echo "${PHISEG_LOG_ROOT}/$1/$2"; }
-for EXP in phiseg_7_5_bf probunet_bf phiseg_7_1_bf detunet_bf; do
-  DIRN="lidc_bf"; [ "${EXP}" = "detunet_bf" ] && DIRN="lidc2_bf"
-  python -m phiseg_tpu.cli.test_quantitative "$(L ${DIRN} ${EXP})" --samples 50 --batch 8 --max-images 128
-  python -m phiseg_tpu.cli.test_predictions "$(L ${DIRN} ${EXP})" --samples 100 --batch 8 --max-images 128
-done
+
+run_family() {
+  local EXP="$1" DIRN="$2"
+  python -m phiseg_tpu.cli.train "${EXP}" --num-iter "${STEPS}" \
+    --no-image-summaries --no-histogram-summaries || return 1
+  local D; D="$(L "${DIRN}" "${EXP}")"
+  [ -f "${D}/ged50_best_ged.npz" ] || \
+    python -m phiseg_tpu.cli.test_quantitative "${D}" --samples 50 --batch 8 --max-images "${NIMG}" || return 1
+  [ -f "${D}/dice_best_dice.npz" ] || \
+    python -m phiseg_tpu.cli.test_predictions "${D}" --samples 100 --batch 8 --max-images "${NIMG}" || return 1
+}
+
+run_family phiseg_7_5_bf lidc_bf || exit 1
+run_family probunet_bf  lidc_bf || exit 1
+run_family phiseg_7_1_bf lidc_bf
+run_family detunet_bf   lidc2_bf
 
 P75="$(L lidc_bf phiseg_7_5_bf)"
 python -m phiseg_tpu.cli.eval_plots ged \

@@ -12,10 +12,15 @@ export PHISEG_LOG_ROOT="${PHISEG_LOG_ROOT:-${REPO_ROOT}/logs}"
 NIMG="${1:-256}"
 
 L() { echo "${PHISEG_LOG_ROOT}/$1/$2"; }
+# skip-if-done guards: the npz is written only on eval completion, so a
+# killed/resumed chain re-runs only what's actually missing.
 for EXP in phiseg_7_5_ms probunet_ms phiseg_7_1_ms detunet_ms; do
   DIRN="lidc_ms"; [ "${EXP}" = "detunet_ms" ] && DIRN="lidc2_ms"
-  python -m phiseg_tpu.cli.test_quantitative "$(L ${DIRN} ${EXP})" --samples 50 --batch 8 --max-images "${NIMG}"
-  python -m phiseg_tpu.cli.test_predictions "$(L ${DIRN} ${EXP})" --samples 100 --batch 8 --max-images "${NIMG}"
+  D="$(L ${DIRN} ${EXP})"
+  [ -f "${D}/ged50_best_ged.npz" ] || \
+    python -m phiseg_tpu.cli.test_quantitative "${D}" --samples 50 --batch 8 --max-images "${NIMG}"
+  [ -f "${D}/dice_best_dice.npz" ] || \
+    python -m phiseg_tpu.cli.test_predictions "${D}" --samples 100 --batch 8 --max-images "${NIMG}"
 done
 
 P75="$(L lidc_ms phiseg_7_5_ms)"

@@ -19,7 +19,7 @@ import sys
 import time
 
 
-def _setup(batch=None, dtype="bfloat16", norm=None):
+def _setup(batch=None, dtype="bfloat16", norm=None, n0=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,6 +38,8 @@ def _setup(batch=None, dtype="bfloat16", norm=None):
         cfg = cfg.replace(batch_size=batch)
     if norm:
         cfg = cfg.replace(norm=norm)
+    if n0:
+        cfg = cfg.replace(n0=n0)
     model = build_model(cfg)
     tx = make_optimizer(cfg)
     rng = jax.random.PRNGKey(0)
@@ -200,7 +202,75 @@ def norm_sweep():
               f"{1000 * cfg.batch_size / ms:7.1f} img/s")
 
 
+def layout_sweep():
+    """Attack the 13.1 ms 'relayout-carrying conv fusion' bucket (VERDICT r3
+    weak #1) with the levers actually available, measuring MFU per variant:
+
+      * compute dtype f32 vs bf16 -- if the {3,2,1,0}<->{3,0,2,1} relayouts
+        come from bf16 sublane packing (16-row tiles vs 8 for f32), f32
+        should shrink that bucket (at 2x HBM);
+      * batch 12 -> 24 -> 48 -- amortises per-step fixed relayout work;
+      * channel width n0 32 -> 64 (diagnostic only, NOT parity: 4x FLOPs) --
+        if MFU rises materially with wider channels, the low MFU is the
+        reference's channel schedule under-filling the 128-lane MXU, which
+        turns round 3's "architectural property" assertion into a measured
+        result.
+
+    Not swept, with reasons: conv dimension_numbers (flax nn.Conv is
+    NHWC-only; XLA:TPU re-lays-out internally regardless), XLA layout flags
+    (process-global at backend init, can't A/B within one process; and the
+    tunnel makes multi-process compile sweeps ~7 min/variant).
+    """
+    import jax
+
+    from phiseg_tpu.engine.train import make_train_step
+
+    results = []
+    for label, kw in [
+        ("bf16 b12 n0=32 (prod)", dict()),
+        ("f32  b12 n0=32", dict(dtype="float32")),
+        ("bf16 b24 n0=32", dict(batch=24)),
+        ("bf16 b48 n0=32", dict(batch=48)),
+        ("bf16 b12 n0=64 (diag)", dict(n0=64)),
+    ]:
+        cfg, model, tx, state, x, s, rng, aug = _setup(**kw)
+        step = make_train_step(model, cfg, tx, augment_fn=aug,
+                               fuse_aug=True, fold_by_step=True)
+        try:
+            ca = step.lower(state, x, s, rng).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        st = [state]
+
+        def run(i):
+            st[0], loss = step(st[0], x, s, rng)
+            return loss["total_loss"]
+
+        ms = _time_loop(run, n=20)
+        mfu = flops / (ms / 1000) / 197e12 if flops else float("nan")
+        line = (f"layout {label:22s}: {ms:7.2f} ms/step = "
+                f"{1000 * cfg.batch_size / ms:7.1f} img/s | "
+                f"{flops / 1e9:6.1f} GFLOP | MFU {100 * mfu:5.1f}%")
+        print(line, flush=True)
+        results.append(line)
+    import os
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "layout_sweep.txt")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write(layout_sweep.__doc__ + "\n" + "\n".join(results) + "\n")
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
+    from phiseg_tpu.utils.tpu_lock import TpuLock
+
+    _lab_lock = TpuLock("perf-lab")
+    _lab_lock.acquire()
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("step-variants", "all"):
         step_variants()
@@ -208,5 +278,8 @@ if __name__ == "__main__":
         batch_sweep()
     if which in ("norm-sweep", "all"):
         norm_sweep()
+    if which in ("layout-sweep",):
+        layout_sweep()
     if which in ("sampler", "all"):
         sampler()
+    _lab_lock.release()
