@@ -211,7 +211,9 @@ class Trainer:
         # VM (see utils/tpu_lock.py). Held for the whole loop; released in
         # the finally below even on exceptions.
         tpu_lock = TpuLock(f"train:{cfg.experiment_name}")
-        tpu_lock.acquire()
+        if not tpu_lock.acquire(max_wait_s=tpu_lock.max_wait_s):
+            log.warning("proceeding WITHOUT the TPU lock (holder %s appears "
+                        "wedged)", tpu_lock.path)
         try:
             t_last = time.perf_counter()
             for step in range(self.init_step, num_iter):

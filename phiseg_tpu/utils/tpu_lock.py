@@ -30,6 +30,7 @@ import errno
 import json
 import logging
 import os
+import threading
 import time
 from typing import Optional
 
@@ -51,10 +52,14 @@ def read_holder(path: Optional[str] = None) -> Optional[dict]:
         with open(path) as f:
             rec = json.load(f)
         pid = int(rec["pid"])
+    except FileNotFoundError:
+        return None  # free. (Do NOT re-check exists(): by now another
+        #              process may have legitimately taken the lock.)
     except (OSError, ValueError, KeyError, json.JSONDecodeError):
-        # Missing file = free; torn/corrupt file = treat as stale.
-        if os.path.exists(path):
-            _break(path, "corrupt lock file")
+        # File present but unreadable = corrupt remnant; break it. Locks
+        # are created content-complete (acquire links a fully-written temp
+        # file), so a partially-written lock cannot be observed.
+        _break(path, "corrupt lock file")
         return None
     if pid == os.getpid():
         return rec  # our own (re-entrant callers see themselves)
@@ -83,9 +88,16 @@ class TpuLock:
     atomically creates it. wait=False returns False instead of polling.
     """
 
-    def __init__(self, tag: str, path: Optional[str] = None):
+    def __init__(self, tag: str, path: Optional[str] = None,
+                 max_wait_s: Optional[float] = 10800.0):
+        """max_wait_s bounds the context-manager acquire: after it expires
+        the caller proceeds WITHOUT the lock (warned). Rationale: this is
+        an advisory liveness mechanism on a single-user VM -- a holder
+        that is alive but wedged (e.g. hung on a dead tunnel dispatch)
+        must not block the work queue forever."""
         self.tag = tag
         self.path = _lock_path(path)
+        self.max_wait_s = max_wait_s
         self._held = False
 
     def acquire(self, wait: bool = True, poll_s: float = 10.0,
@@ -95,17 +107,30 @@ class TpuLock:
         while True:
             holder = read_holder(self.path)
             if holder is None or int(holder.get("pid", -1)) == os.getpid():
+                # Atomic create-WITH-content: hard-link a fully-written temp
+                # file into place (link fails with EEXIST if someone else
+                # won). Writing after an O_CREAT|O_EXCL open is racy: a
+                # concurrent read_holder would see the empty file, deem it
+                # corrupt and break the fresh lock.
+                tmp = f"{self.path}.{os.getpid()}.{threading.get_ident()}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"pid": os.getpid(), "tag": self.tag,
+                               "time": time.time()}, f)
                 try:
-                    fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.link(tmp, self.path)
                 except OSError as e:
                     if e.errno != errno.EEXIST:
+                        os.remove(tmp)
                         raise
                     # lost the race; fall through to wait/poll
                 else:
-                    with os.fdopen(fd, "w") as f:
-                        json.dump({"pid": os.getpid(), "tag": self.tag,
-                                   "time": time.time()}, f)
                     self._held = True
+                finally:
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
+                if self._held:
                     return True
             if not wait:
                 return False
@@ -123,7 +148,12 @@ class TpuLock:
             self._held = False
 
     def __enter__(self):
-        self.acquire()
+        if not self.acquire(max_wait_s=self.max_wait_s):
+            log.warning(
+                "proceeding WITHOUT the TPU lock after %.0fs wait (holder %s "
+                "appears wedged); measurements may be contended",
+                self.max_wait_s or 0.0, read_holder(self.path),
+            )
         return self
 
     def __exit__(self, *exc):

@@ -24,6 +24,15 @@ def pytest_configure(config):
     )
 
 
+@pytest.fixture(autouse=True)
+def _isolated_tpu_lock(tmp_path, monkeypatch):
+    """Point the advisory TPU lock at a per-test path: otherwise any test
+    that enters Trainer.train/eval CLIs would block on the REAL
+    /tmp/phiseg_tpu.lock whenever a production trainer is running on this
+    VM (tests are CPU-only and never contend for the chip)."""
+    monkeypatch.setenv("PHISEG_TPU_LOCK", str(tmp_path / "tpu.lock"))
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
