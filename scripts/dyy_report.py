@@ -34,6 +34,13 @@ os.environ["PALLAS_AXON_POOL_IPS"] = ""
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The container's sitecustomize pins the axon TPU platform BEFORE this
+# module's env lines run; force CPU the way tests/conftest.py does (this is
+# a data-statistics script, it must not touch -- or block on -- the tunnel).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main(n_images: int = 256, hw=(128, 128), m_annot: int = 4) -> None:
     import numpy as np

@@ -230,8 +230,9 @@ def test_train_drains_async_writer_on_exception(cfg):
     assert os.path.exists(os.path.join(t.log_dir, "best_metrics.json"))
     # lock released on the error path
     assert read_holder() is None or read_holder().get("tag") != "train:drain_test"
-    # 'latest' is the validation-time save (step 10), NOT a post-crash save
-    assert t.ckpt.latest_step("latest") == 10
+    # 'latest' is the validation-time save (state.step is 11 after the
+    # loop-step-10 update), NOT a post-crash save of the live state
+    assert t.ckpt.latest_step("latest") == 11
 
 
 def test_host_lr_matches_optimizer_schedule(cfg):
