@@ -25,6 +25,7 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
 
     names = names or [f"exp{i}" for i in range(len(files))]
     arrays, terms = [], []
+    results_unbiased: dict = {}
     for f in files:
         with np.load(f) as z:
             # arr_0 = the positional result array (reference npz contract);
@@ -61,10 +62,36 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
                 log.info("  calibrated-model GED^2 floor (N=%d, M=%d): %.4f "
                          "(achieved %.4f = floor + %.4f)",
                          n_s, n_a, floor, arr.mean(), arr.mean() - floor)
+                # Unbiased GED^2 (self-pairs excluded): since d(s,s)=0, the
+                # unbiased mean pairwise distances are d_ss*N/(N-1) and
+                # d_yy*M/(M-1), so the floor vanishes and the biased
+                # estimator's structural favor toward UNDER-dispersed
+                # models (its inflation is + d_ss/N + d_yy/M, smaller when
+                # d_ss is small) is removed. Diagnostic only -- the
+                # headline tables keep the reference's biased estimator
+                # (utils.py:294-322) for parity.
+                ub = (2.0 * t["d_sy"]
+                      - t["d_ss"] * (n_s / (n_s - 1.0))
+                      - t["d_yy"] * (n_a / (n_a - 1.0)))
+                log.info("  unbiased GED^2 %s: %.4f +- %.4f", name,
+                         ub.mean(), ub.std())
+                results_unbiased[name] = ub
 
     results = {"means": {n: float(a.mean()) for n, a in zip(names, arrays)},
                "stds": {n: float(a.std()) for n, a in zip(names, arrays)},
-               "ttests": {}}
+               "unbiased_means": {n: float(a.mean())
+                                  for n, a in results_unbiased.items()},
+               "ttests": {}, "ttests_unbiased": {}}
+    ub_names = list(results_unbiased)
+    for i in range(len(ub_names)):
+        for j in range(i + 1, len(ub_names)):
+            a, b = results_unbiased[ub_names[i]], results_unbiased[ub_names[j]]
+            if len(a) == len(b):
+                t, p = stats.ttest_rel(a, b)
+                results["ttests_unbiased"][f"{ub_names[i]} vs {ub_names[j]}"] = (
+                    float(t), float(p))
+                log.info("paired t-test (unbiased GED^2) %s vs %s: t=%.3f p=%.2e",
+                         ub_names[i], ub_names[j], t, p)
     for i in range(len(arrays)):
         for j in range(i + 1, len(arrays)):
             if len(arrays[i]) == len(arrays[j]):

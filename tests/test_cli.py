@@ -142,3 +142,29 @@ def test_train_cli_named_experiment_resolution():
     assert cfg.experiment_name == "phiseg_7_5"
     with pytest.raises(KeyError):
         resolve_config("not_an_experiment")
+
+
+def test_eval_plots_unbiased_ged(tmp_path):
+    """With the term decomposition in the npz, aggregate() reports the
+    self-pair-corrected (unbiased) GED^2 alongside the reference's biased
+    estimator. For a perfectly calibrated sampler (d_sy == d-bar,
+    d_ss == (1-1/N)d-bar, d_yy == (1-1/M)d-bar) the biased GED^2 equals the
+    (1/N+1/M)d-bar floor while the unbiased one is exactly zero."""
+    import numpy as np
+
+    from phiseg_tpu.cli.eval_plots import aggregate
+
+    n_img, n_s, n_a, dbar = 16, 50, 4, 0.4
+    rng = np.random.RandomState(0)
+    d_sy = np.full(n_img, dbar) + rng.normal(0, 1e-9, n_img)
+    d_ss = np.full(n_img, (1 - 1 / n_s) * dbar)
+    d_yy = np.full(n_img, (1 - 1 / n_a) * dbar)
+    ged = 2 * d_sy - d_ss - d_yy  # biased estimator == floor
+    f = str(tmp_path / "ged50_best_ged.npz")
+    np.savez(f, ged, d_sy=d_sy, d_ss=d_ss, d_yy=d_yy,
+             n_samples=np.asarray(n_s), n_annotators=np.asarray(n_a))
+
+    res = aggregate("ged", [f, f], names=["a", "b"])
+    assert abs(res["means"]["a"] - (1 / n_s + 1 / n_a) * dbar) < 1e-6
+    assert abs(res["unbiased_means"]["a"]) < 1e-6
+    assert "a vs b" in res["ttests_unbiased"]
