@@ -123,7 +123,13 @@ def main(argv=None):
 
     lock_info = wait_for_free(max_wait_s=900.0)
     bench_lock = TpuLock("bench")
-    bench_lock.acquire(wait=False)  # advisory; skip if a holder persists
+    if not bench_lock.acquire(wait=False):
+        # someone took the lock between the wait and the acquire (or the
+        # wait expired): re-read so the JSON line reports the REAL holder
+        # this measurement contended with, never a stale null.
+        from phiseg_tpu.utils.tpu_lock import read_holder
+
+        lock_info["held_by"] = read_holder() or {"pid": -1, "tag": "unknown"}
 
     import jax
     import jax.numpy as jnp

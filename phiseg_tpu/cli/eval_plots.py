@@ -70,9 +70,12 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
                 # d_ss is small) is removed. Diagnostic only -- the
                 # headline tables keep the reference's biased estimator
                 # (utils.py:294-322) for parity.
+                # max() guards the N=1 / M=1 degenerate cases (e.g. the
+                # 1annot experiments evaluate against a single rater, so
+                # d_yy is exactly 0 and the correction factor is moot).
                 ub = (2.0 * t["d_sy"]
-                      - t["d_ss"] * (n_s / (n_s - 1.0))
-                      - t["d_yy"] * (n_a / (n_a - 1.0)))
+                      - t["d_ss"] * (n_s / max(n_s - 1.0, 1e-12))
+                      - t["d_yy"] * (n_a / max(n_a - 1.0, 1e-12)))
                 log.info("  unbiased GED^2 %s: %.4f +- %.4f", name,
                          ub.mean(), ub.std())
                 results_unbiased[name] = ub

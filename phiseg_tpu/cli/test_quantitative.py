@@ -31,7 +31,7 @@ log = logging.getLogger(__name__)
 
 def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
              batch: int = 8, max_images: int | None = None, mesh: bool = False,
-             synth_n_test: int | None = None):
+             synth_n_test: int | None = None, out_suffix: str = ""):
     from phiseg_tpu.data import get_dataset
     from phiseg_tpu.engine.loading import load_experiment
     from phiseg_tpu.engine.validation import make_quant_eval_fn
@@ -96,11 +96,16 @@ def evaluate(log_dir: str, num_samples: int = 50, tag: str = "best_ged",
     # sampling exactly from the annotator distribution still scores
     # GED^2 = (1/N + 1/M) * d-bar because d_ss/d_yy average over self-pairs.
     n_annotators = int(np.asarray(labels).shape[-1])
-    np.savez(os.path.join(log_dir, f"ged{num_samples}_{tag}.npz"), ged_arr,
+    # out_suffix lets re-evals of the SAME tag at a different training
+    # budget (e.g. the 48k extension) write alongside the canonical files
+    # instead of overwriting them, keeping matched-budget tables honest.
+    np.savez(os.path.join(log_dir, f"ged{num_samples}_{tag}{out_suffix}.npz"),
+             ged_arr,
              d_sy=term_arr[:, 0], d_ss=term_arr[:, 1], d_yy=term_arr[:, 2],
              n_samples=np.asarray(num_samples),
              n_annotators=np.asarray(n_annotators))
-    np.savez(os.path.join(log_dir, f"ncc{num_samples}_{tag}.npz"), ncc_arr)
+    np.savez(os.path.join(log_dir, f"ncc{num_samples}_{tag}{out_suffix}.npz"),
+             ncc_arr)
     return ged_arr, ncc_arr
 
 
@@ -116,12 +121,15 @@ def main(argv=None):
                    help="shard the sample axis over all local devices")
     p.add_argument("--synth-n-test", type=int, default=None,
                    help="enlarge the synthetic test split for this eval")
+    p.add_argument("--out-suffix", default="",
+                   help="append to the npz stem (don't overwrite canonical files)")
     a = p.parse_args(argv)
     from phiseg_tpu.utils.tpu_lock import TpuLock
 
     with TpuLock(f"eval:quant:{os.path.basename(a.log_dir.rstrip('/'))}"):
         evaluate(a.log_dir, a.samples, a.tag, a.batch, a.max_images,
-                 mesh=a.mesh, synth_n_test=a.synth_n_test)
+                 mesh=a.mesh, synth_n_test=a.synth_n_test,
+                 out_suffix=a.out_suffix)
 
 
 if __name__ == "__main__":

@@ -211,7 +211,7 @@ class Trainer:
         # VM (see utils/tpu_lock.py). Held for the whole loop; released in
         # the finally below even on exceptions.
         tpu_lock = TpuLock(f"train:{cfg.experiment_name}")
-        if not tpu_lock.acquire(max_wait_s=tpu_lock.max_wait_s):
+        if not tpu_lock.acquire():  # bounded by the instance default (3h)
             log.warning("proceeding WITHOUT the TPU lock (holder %s appears "
                         "wedged)", tpu_lock.path)
         try:

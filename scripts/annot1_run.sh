@@ -19,8 +19,12 @@ for EXP in phiseg_7_5_1annot_synth phiseg_7_1_1annot_synth probunet_1annot_synth
 done
 
 L="${PHISEG_LOG_ROOT}/lidc_synth"
+# guards key on the LAST-written artifact (ncc for quant evals) so a kill
+# between the two npz writes re-runs; relaunches skip completed evals.
 for EXP in phiseg_7_5_1annot_synth phiseg_7_1_1annot_synth probunet_1annot_synth; do
-  python -m phiseg_tpu.cli.test_quantitative "${L}/${EXP}" --samples 50 --batch 8 --synth-n-test 256
-  python -m phiseg_tpu.cli.test_predictions "${L}/${EXP}" --samples 100 --batch 8 --synth-n-test 256
+  [ -f "${L}/${EXP}/ncc50_best_ged.npz" ] || \
+    python -m phiseg_tpu.cli.test_quantitative "${L}/${EXP}" --samples 50 --batch 8 --synth-n-test 256
+  [ -f "${L}/${EXP}/dice_best_dice.npz" ] || \
+    python -m phiseg_tpu.cli.test_predictions "${L}/${EXP}" --samples 100 --batch 8 --synth-n-test 256
 done
 echo "1annot runs complete"

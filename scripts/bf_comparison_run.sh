@@ -14,7 +14,11 @@
 # (phiseg_7_5 vs probunet) FIRST -- so an interruption at any point leaves
 # completed families fully evaluated rather than round 3's
 # all-trained/none-evaled state. cli.train auto-resumes and exits
-# immediately when already at --num-iter, so re-running is cheap.
+# immediately when already at --num-iter; eval guards key on the
+# LAST-written artifact (ncc for quant evals) so a kill between the two
+# npz writes re-runs the eval. The plot tail aggregates whichever
+# families completed (>=2 required); the script fails only if the
+# decisive pair is incomplete.
 set -uo pipefail
 REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 export PYTHONPATH="${REPO_ROOT}:${PYTHONPATH:-}"
@@ -29,7 +33,7 @@ run_family() {
   python -m phiseg_tpu.cli.train "${EXP}" --num-iter "${STEPS}" \
     --no-image-summaries --no-histogram-summaries || return 1
   local D; D="$(L "${DIRN}" "${EXP}")"
-  [ -f "${D}/ged50_best_ged.npz" ] || \
+  [ -f "${D}/ncc50_best_ged.npz" ] || \
     python -m phiseg_tpu.cli.test_quantitative "${D}" --samples 50 --batch 8 --max-images "${NIMG}" || return 1
   [ -f "${D}/dice_best_dice.npz" ] || \
     python -m phiseg_tpu.cli.test_predictions "${D}" --samples 100 --batch 8 --max-images "${NIMG}" || return 1
@@ -37,17 +41,31 @@ run_family() {
 
 run_family phiseg_7_5_bf lidc_bf || exit 1
 run_family probunet_bf  lidc_bf || exit 1
-run_family phiseg_7_1_bf lidc_bf
-run_family detunet_bf   lidc2_bf
+run_family phiseg_7_1_bf lidc_bf || echo "WARN: phiseg_7_1_bf incomplete"
+run_family detunet_bf   lidc2_bf || echo "WARN: detunet_bf incomplete"
 
-P75="$(L lidc_bf phiseg_7_5_bf)"
-python -m phiseg_tpu.cli.eval_plots ged \
-  --files "${P75}/ged50_best_ged.npz" "$(L lidc_bf probunet_bf)/ged50_best_ged.npz" "$(L lidc_bf phiseg_7_1_bf)/ged50_best_ged.npz" "$(L lidc2_bf detunet_bf)/ged50_best_ged.npz" \
-  --names phiseg_7_5 probunet phiseg_7_1 detunet --plot "${REPO_ROOT}/artifacts/ged_bf_comparison.png"
-python -m phiseg_tpu.cli.eval_plots ncc \
-  --files "${P75}/ncc50_best_ged.npz" "$(L lidc_bf probunet_bf)/ncc50_best_ged.npz" "$(L lidc_bf phiseg_7_1_bf)/ncc50_best_ged.npz" "$(L lidc2_bf detunet_bf)/ncc50_best_ged.npz" \
-  --names phiseg_7_5 probunet phiseg_7_1 detunet --plot "${REPO_ROOT}/artifacts/ncc_bf_comparison.png"
-python -m phiseg_tpu.cli.eval_plots dice \
-  --files "${P75}/dice_best_dice.npz" "$(L lidc_bf probunet_bf)/dice_best_dice.npz" "$(L lidc_bf phiseg_7_1_bf)/dice_best_dice.npz" "$(L lidc2_bf detunet_bf)/dice_best_dice.npz" \
-  --names phiseg_7_5 probunet phiseg_7_1 detunet --plot "${REPO_ROOT}/artifacts/dice_bf_comparison.png"
+# Aggregate whichever families completed (order fixed; decisive pair is
+# guaranteed above). eval_plots failures must not mask the completed
+# training/eval work, so the tail is best-effort.
+plot() {  # plot <metric> <file-stem> <png-name>
+  local METRIC="$1" STEM="$2" PNG="$3" FILES=() NAMES=()
+  for ROW in "phiseg_7_5:$(L lidc_bf phiseg_7_5_bf)" \
+             "probunet:$(L lidc_bf probunet_bf)" \
+             "phiseg_7_1:$(L lidc_bf phiseg_7_1_bf)" \
+             "detunet:$(L lidc2_bf detunet_bf)"; do
+    local NAME="${ROW%%:*}" DIR="${ROW#*:}"
+    [ -f "${DIR}/${STEM}.npz" ] && { FILES+=("${DIR}/${STEM}.npz"); NAMES+=("${NAME}"); }
+  done
+  if [ "${#FILES[@]}" -ge 2 ]; then
+    python -m phiseg_tpu.cli.eval_plots "${METRIC}" --files "${FILES[@]}" \
+      --names "${NAMES[@]}" --plot "${REPO_ROOT}/artifacts/${PNG}" \
+      || echo "WARN: ${METRIC} aggregation failed"
+  else
+    echo "WARN: <2 families have ${STEM}.npz; skipping ${METRIC} plot"
+  fi
+}
+
+plot ged  ged50_best_ged  ged_bf_comparison.png
+plot ncc  ncc50_best_ged  ncc_bf_comparison.png
+plot dice dice_best_dice  dice_bf_comparison.png
 echo "bf comparison complete"

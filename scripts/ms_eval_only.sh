@@ -12,12 +12,13 @@ export PHISEG_LOG_ROOT="${PHISEG_LOG_ROOT:-${REPO_ROOT}/logs}"
 NIMG="${1:-256}"
 
 L() { echo "${PHISEG_LOG_ROOT}/$1/$2"; }
-# skip-if-done guards: the npz is written only on eval completion, so a
-# killed/resumed chain re-runs only what's actually missing.
+# skip-if-done guards key on the LAST-written artifact (test_quantitative
+# writes ged then ncc): a kill between the two writes re-runs the eval, so
+# a killed/resumed chain re-runs only what's actually incomplete.
 for EXP in phiseg_7_5_ms probunet_ms phiseg_7_1_ms detunet_ms; do
   DIRN="lidc_ms"; [ "${EXP}" = "detunet_ms" ] && DIRN="lidc2_ms"
   D="$(L ${DIRN} ${EXP})"
-  [ -f "${D}/ged50_best_ged.npz" ] || \
+  [ -f "${D}/ncc50_best_ged.npz" ] || \
     python -m phiseg_tpu.cli.test_quantitative "${D}" --samples 50 --batch 8 --max-images "${NIMG}"
   [ -f "${D}/dice_best_dice.npz" ] || \
     python -m phiseg_tpu.cli.test_predictions "${D}" --samples 100 --batch 8 --max-images "${NIMG}"

@@ -4,16 +4,34 @@
 # small; the reference protocol evaluates ~1700 images,
 # phiseg_test_quantitative.py:39). Deterministic split growth: the original
 # 32 images are a prefix of the 256.
+#
+# Skip guards are SHAPE-aware: the old n=32 npz files exist under the same
+# names and must be overwritten, so an eval is "done" only when its npz
+# holds >= NIMG rows (keyed on ncc/dice, the last-written artifacts).
 set -euo pipefail
 REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 export PYTHONPATH="${REPO_ROOT}:${PYTHONPATH:-}"
 export PHISEG_LOG_ROOT="${PHISEG_LOG_ROOT:-${REPO_ROOT}/logs}"
+NIMG=256
+
+done_npz() {  # done_npz <file> -> success if file exists with >= NIMG rows
+  [ -f "$1" ] && python - "$1" "${NIMG}" <<'EOF'
+import sys
+import numpy as np
+with np.load(sys.argv[1]) as z:
+    arr = z["arr_0"] if "arr_0" in z else z[list(z.keys())[0]]
+sys.exit(0 if arr.shape[0] >= int(sys.argv[2]) else 1)
+EOF
+}
 
 L() { echo "${PHISEG_LOG_ROOT}/$1/$2"; }
 for EXP in phiseg_7_5_synth probunet_synth phiseg_7_1_synth detunet_synth; do
   DIRN="lidc_synth"; [ "${EXP}" = "detunet_synth" ] && DIRN="lidc2_synth"
-  python -m phiseg_tpu.cli.test_quantitative "$(L ${DIRN} ${EXP})" --samples 50 --batch 8 --synth-n-test 256
-  python -m phiseg_tpu.cli.test_predictions "$(L ${DIRN} ${EXP})" --samples 100 --batch 8 --synth-n-test 256
+  D="$(L ${DIRN} ${EXP})"
+  done_npz "${D}/ncc50_best_ged.npz" || \
+    python -m phiseg_tpu.cli.test_quantitative "${D}" --samples 50 --batch 8 --synth-n-test "${NIMG}"
+  done_npz "${D}/dice_best_dice.npz" || \
+    python -m phiseg_tpu.cli.test_predictions "${D}" --samples 100 --batch 8 --synth-n-test "${NIMG}"
 done
 
 P75="$(L lidc_synth phiseg_7_5_synth)"

@@ -1,4 +1,4 @@
-"""Advisory TPU lockfile + async checkpoint-writer ordering/shutdown."""
+"""Advisory TPU lock (flock-based) + async checkpoint-writer ordering."""
 
 import json
 import os
@@ -6,7 +6,6 @@ import threading
 
 import numpy as np
 
-from phiseg_tpu.utils import tpu_lock
 from phiseg_tpu.utils.tpu_lock import TpuLock, read_holder, wait_for_free
 
 
@@ -17,8 +16,10 @@ def test_acquire_release_cycle(tmp_path):
     holder = read_holder(path)
     assert holder["tag"] == "t1" and holder["pid"] == os.getpid()
     lk.release()
+    # the rendezvous file persists; the kernel lock is what matters
     assert read_holder(path) is None
-    assert not os.path.exists(path)
+    # idempotent release
+    lk.release()
 
 
 def test_second_holder_blocked_until_release(tmp_path):
@@ -34,24 +35,34 @@ def test_second_holder_blocked_until_release(tmp_path):
     b.release()
 
 
-def test_stale_lock_broken(tmp_path):
+def test_dead_holder_remnant_reads_free(tmp_path):
+    """A crashed holder's flock is released by the kernel; its JSON remnant
+    in the file must read as FREE (no stale-breaking logic, no TOCTOU)."""
     path = str(tmp_path / "l.lock")
-    # a pid that cannot be alive (max_pid is far below 2**22 + this range)
     with open(path, "w") as f:
         json.dump({"pid": 2**22 - 7, "tag": "dead", "time": 0.0}, f)
-    assert read_holder(path) is None  # stale -> broken
-    assert not os.path.exists(path)
+    assert read_holder(path) is None  # nobody holds the flock
     lk = TpuLock("fresh", path=path)
     assert lk.acquire(wait=False)
+    assert read_holder(path)["tag"] == "fresh"
     lk.release()
 
 
-def test_corrupt_lock_treated_as_stale(tmp_path):
+def test_corrupt_content_while_held_still_reports(tmp_path):
+    """Unparseable holder info degrades to a placeholder record, never an
+    exception, and a free lock with garbage content reads as free."""
     path = str(tmp_path / "l.lock")
     with open(path, "w") as f:
         f.write("not json{")
-    assert read_holder(path) is None
-    assert not os.path.exists(path)
+    assert read_holder(path) is None  # free despite garbage remnant
+    lk = TpuLock("x", path=path)
+    lk.acquire()
+    # clobber the content behind the holder's back
+    with open(path, "w") as f:
+        f.write("not json{")
+    h = read_holder(path)
+    assert h is not None and h["pid"] == -1 and h["tag"] == "?"
+    lk.release()
 
 
 def test_wait_for_free_reports_holder(tmp_path):
@@ -74,6 +85,30 @@ def test_env_var_path(tmp_path, monkeypatch):
     lk.acquire()
     assert os.path.exists(path)
     lk.release()
+
+
+def test_acquire_default_bound_is_instance_max_wait(tmp_path):
+    """A bare acquire() must honour the instance bound (a wedged-but-alive
+    holder must not block the queue forever)."""
+    path = str(tmp_path / "l.lock")
+    a = TpuLock("a", path=path)
+    a.acquire()
+    b = TpuLock("b", path=path, max_wait_s=0.2)
+    import time
+
+    t0 = time.time()
+    assert not b.acquire(poll_s=0.05)  # no explicit max_wait -> instance's
+    assert time.time() - t0 < 5.0
+    a.release()
+
+
+def test_not_reentrant_same_instance_is_noop_second_acquire(tmp_path):
+    path = str(tmp_path / "l.lock")
+    lk = TpuLock("t", path=path)
+    assert lk.acquire(wait=False)
+    assert lk.acquire(wait=False)  # same instance: already held, True
+    lk.release()
+    assert read_holder(path) is None
 
 
 def _tiny_state():
@@ -140,7 +175,8 @@ def test_ckpt_close_joins_worker_and_is_idempotent(tmp_path):
 
 
 def test_lock_concurrent_acquire_single_winner(tmp_path):
-    """O_CREAT|O_EXCL means exactly one of N racing threads wins."""
+    """flock(LOCK_EX|LOCK_NB) on independent fds: exactly one of N racing
+    threads wins."""
     path = str(tmp_path / "race.lock")
     wins = []
     locks = [TpuLock(f"r{i}", path=path) for i in range(8)]
@@ -158,3 +194,35 @@ def test_lock_concurrent_acquire_single_winner(tmp_path):
         t.join()
     assert len(wins) == 1
     wins[0].release()
+
+
+def test_lock_released_when_holder_process_dies(tmp_path):
+    """The kernel releases a dead holder's flock: the core anti-wedge
+    property the old lockfile scheme needed fragile pid-liveness checks
+    for."""
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "l.lock")
+    code = (
+        "import sys, time; sys.path.insert(0, %r); "
+        "from phiseg_tpu.utils.tpu_lock import TpuLock; "
+        "TpuLock('child', path=%r).acquire(); "
+        "print('held', flush=True); time.sleep(60)"
+        % (os.getcwd(), path)
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, env=env)
+    assert p.stdout.readline().strip() == b"held"
+    assert read_holder(path)["tag"] == "child"
+    p.kill()
+    p.wait()
+    deadline = time.time() + 10
+    while read_holder(path) is not None and time.time() < deadline:
+        time.sleep(0.1)
+    assert read_holder(path) is None
+    lk = TpuLock("after", path=path)
+    assert lk.acquire(wait=False)
+    lk.release()
