@@ -34,7 +34,11 @@ for EXPDIR in "${LOG_ROOT}"/*/*/; do
   done
 done
 
-git add -A results/ artifacts/ 2>/dev/null
+# Separate adds with || true: a pathspec that matches nothing (e.g.
+# results/ before the first eval lands) would otherwise abort the WHOLE
+# add, silently dropping artifacts/ too (bit us at round-4 stage 1).
+git add -A artifacts/ 2>/dev/null || true
+[ -d results ] && git add -A results/ 2>/dev/null || true
 if ! git diff --cached --quiet 2>/dev/null; then
   git commit -q -m "Harvest eval artifacts into results/ ($(date -u +%H:%M:%S))" \
     && echo "harvest: committed updated results" \
