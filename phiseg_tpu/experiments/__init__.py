@@ -134,6 +134,32 @@ for _name, _base_cfg in (
     )
 
 
+# -- large-data bfield pair (round-4): the matched-budget bf quartet lost
+# GED^2 to probunet a third time, and the flagship's validation GED U-turned
+# after ~14.5k steps -- an overfitting signature: 24k steps x batch 12 over
+# 512 train images is ~560 epochs, whereas the reference's LIDC regime is
+# ~8.9k images x ~30 epochs (lidc_data_loader.py:46-106 split sizes,
+# phiseg_7_5.py num_iter). This pair re-runs the decisive comparison with
+# 8x the training data (~70 epochs) at the SAME 24k budget, isolating
+# train-set size as the confounder behind the headline-claim failures.
+_BFXL = dict(
+    data_identifier="synthetic",
+    synth_task="bfield",
+    synth_n_train=4096,
+    synth_n_val=64,
+    synth_n_test=256,
+)
+for _name, _base_cfg in (
+    ("phiseg_7_5_bfxl", phiseg_7_5),
+    ("probunet_bfxl", probunet),
+):
+    _REGISTRY[_name] = _base_cfg.replace(
+        experiment_name=_name,
+        log_dir_name=_base_cfg.log_dir_name + "_bfxl",
+        **_BFXL,
+    )
+
+
 def get_experiment(name: str) -> ExperimentConfig:
     if name not in _REGISTRY:
         raise KeyError(

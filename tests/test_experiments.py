@@ -53,6 +53,19 @@ def test_synth_variants():
     assert cfg.data_identifier == "synthetic"
 
 
+def test_bfxl_pair():
+    # large-data bfield pair: identical to the *_bf configs except 8x train
+    # data; the decisive-pair comparison stays matched-budget (24k steps).
+    xl = get_experiment("phiseg_7_5_bfxl")
+    bf = get_experiment("phiseg_7_5_bf")
+    assert xl.synth_task == bf.synth_task == "bfield"
+    assert xl.synth_n_train == 4096 and bf.synth_n_train == 512
+    assert (xl.synth_n_val, xl.synth_n_test) == (bf.synth_n_val, bf.synth_n_test)
+    assert xl.log_dir_name == "lidc_bfxl"
+    pu = get_experiment("probunet_bfxl")
+    assert pu.model_family == "prob_unet" and pu.synth_n_train == 4096
+
+
 def test_unknown_experiment():
     with pytest.raises(KeyError):
         get_experiment("nope")
