@@ -23,7 +23,7 @@ CHANGED=0
 for EXPDIR in "${LOG_ROOT}"/*/*/; do
   REL="${EXPDIR#"${LOG_ROOT}"/}"          # e.g. lidc_bf/phiseg_7_5_bf/
   DEST="results/${REL}"
-  for F in "${EXPDIR}"*.npz "${EXPDIR}"best_metrics.json \
+  for F in "${EXPDIR}"*.npz "${EXPDIR}"best_metrics*.json \
            "${EXPDIR}"config.json "${EXPDIR}"metrics.jsonl; do
     [ -f "${F}" ] || continue
     mkdir -p "${DEST}"
