@@ -125,7 +125,9 @@ else
 fi
 
 stage 5/8 "1annot trio (round-2 carryover)"
-if fam_done lidc_1annot phiseg_7_5_1annot && fam_done lidc_1annot probunet_1annot; then
+if fam_done lidc_synth phiseg_7_5_1annot_synth && \
+   fam_done lidc_synth phiseg_7_1_1annot_synth && \
+   fam_done lidc_synth probunet_1annot_synth; then
   echo "1annot trio already harvested; skipping"
 else
   bash scripts/annot1_run.sh "${STEPS}"
