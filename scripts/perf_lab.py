@@ -221,11 +221,24 @@ def layout_sweep():
     (process-global at backend init, can't A/B within one process; and the
     tunnel makes multi-process compile sweeps ~7 min/variant).
     """
+    import os
+
     import jax
 
     from phiseg_tpu.engine.train import make_train_step
 
-    results = []
+    # Incremental + resumable: each variant line is appended to the artifact
+    # the moment it is measured, and already-recorded variants are skipped on
+    # relaunch, so a deadline kill mid-sweep preserves the completed rows
+    # (every TPU compile here costs ~5-7 min through the tunnel).
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "layout_sweep.txt")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    recorded = open(out).read() if os.path.exists(out) else ""
+    if not recorded:
+        with open(out, "w") as f:
+            f.write(layout_sweep.__doc__ + "\n")
+
     for label, kw in [
         ("bf16 b12 n0=32 (prod)", dict()),
         ("f32  b12 n0=32", dict(dtype="float32")),
@@ -233,6 +246,9 @@ def layout_sweep():
         ("bf16 b48 n0=32", dict(batch=48)),
         ("bf16 b12 n0=64 (diag)", dict(n0=64)),
     ]:
+        if f"layout {label:22s}:" in recorded:
+            print(f"layout {label}: already recorded, skipping", flush=True)
+            continue
         cfg, model, tx, state, x, s, rng, aug = _setup(**kw)
         step = make_train_step(model, cfg, tx, augment_fn=aug,
                                fuse_aug=True, fold_by_step=True)
@@ -255,14 +271,14 @@ def layout_sweep():
                 f"{1000 * cfg.batch_size / ms:7.1f} img/s | "
                 f"{flops / 1e9:6.1f} GFLOP | MFU {100 * mfu:5.1f}%")
         print(line, flush=True)
-        results.append(line)
-    import os
+        with open(out, "a") as f:
+            f.write(line + "\n")
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "artifacts", "layout_sweep.txt")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        f.write(layout_sweep.__doc__ + "\n" + "\n".join(results) + "\n")
+    # Completion sentinel the chain's skip guard greps for -- a partial
+    # (killed) sweep must NOT be mistaken for a finished one.
+    if "SWEEP COMPLETE" not in (open(out).read() if os.path.exists(out) else ""):
+        with open(out, "a") as f:
+            f.write("SWEEP COMPLETE\n")
     print(f"wrote {out}")
 
 
