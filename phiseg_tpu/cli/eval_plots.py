@@ -49,33 +49,28 @@ def aggregate(metric: str, files, names=None, plot: str | None = None):
                      t["d_sy"].mean(), t["d_ss"].mean(), t["d_yy"].mean(),
                      t["d_ss"].mean() / max(t["d_yy"].mean(), 1e-12))
             if "n_samples" in t:
-                # finite-N/M estimator floor: a model that samples EXACTLY
-                # from the annotator distribution has E[d_sy]=d-bar,
-                # E[d_ss]=(1-1/N)d-bar, E[d_yy]=(1-1/M)d-bar (self-pairs are
-                # zero-distance), so E[GED^2] = (1/N + 1/M)*d-bar with
-                # d-bar = d_yy/(1-1/M). The estimator itself matches the
-                # reference (utils.py:294-322); the floor is the honest
-                # yardstick for "how far from perfectly calibrated".
+                # Single implementation of the finite-N/M corrections
+                # (floor / unbiased GED^2) shared with scripts/pair_stats.py
+                # -- see phiseg_tpu/metrics/estimator.py for the math.
+                # Diagnostics only: the headline tables keep the
+                # reference's biased estimator (utils.py:294-322) for
+                # parity. Degenerate protocols (N=1 or M=1) report NaN
+                # with a note instead of a bogus correction.
+                from phiseg_tpu.metrics import estimator
+
                 n_s, n_a = t["n_samples"], t["n_annotators"]
-                dbar = t["d_yy"].mean() / max(1.0 - 1.0 / n_a, 1e-12)
-                floor = (1.0 / n_s + 1.0 / n_a) * dbar
+                floor = float(estimator.calibrated_floor(
+                    t["d_yy"].mean(), n_s, n_a))
+                if np.isnan(floor):
+                    log.info("  estimator corrections undefined at N=%d, "
+                             "M=%d (need N>1 and M>1); skipping "
+                             "floor/unbiased diagnostics", n_s, n_a)
+                    continue
                 log.info("  calibrated-model GED^2 floor (N=%d, M=%d): %.4f "
                          "(achieved %.4f = floor + %.4f)",
                          n_s, n_a, floor, arr.mean(), arr.mean() - floor)
-                # Unbiased GED^2 (self-pairs excluded): since d(s,s)=0, the
-                # unbiased mean pairwise distances are d_ss*N/(N-1) and
-                # d_yy*M/(M-1), so the floor vanishes and the biased
-                # estimator's structural favor toward UNDER-dispersed
-                # models (its inflation is + d_ss/N + d_yy/M, smaller when
-                # d_ss is small) is removed. Diagnostic only -- the
-                # headline tables keep the reference's biased estimator
-                # (utils.py:294-322) for parity.
-                # max() guards the N=1 / M=1 degenerate cases (e.g. the
-                # 1annot experiments evaluate against a single rater, so
-                # d_yy is exactly 0 and the correction factor is moot).
-                ub = (2.0 * t["d_sy"]
-                      - t["d_ss"] * (n_s / max(n_s - 1.0, 1e-12))
-                      - t["d_yy"] * (n_a / max(n_a - 1.0, 1e-12)))
+                ub = estimator.unbiased_ged(
+                    t["d_sy"], t["d_ss"], t["d_yy"], n_s, n_a)
                 log.info("  unbiased GED^2 %s: %.4f +- %.4f", name,
                          ub.mean(), ub.std())
                 results_unbiased[name] = ub

@@ -13,6 +13,13 @@ CHAIN="${1:?usage: chain_watch.sh <chain-script>}"
 STOP="${CHAIN_STOP_FILE:-/tmp/chain_stop}"
 DONE="/tmp/$(basename "${CHAIN}" .sh)_done"
 rm -f "${DONE}"
+# A stop file is a one-shot signal aimed at a RUNNING watcher (deadline_stop
+# touches it). Launching a new watcher supersedes it; without this, a
+# relaunch after a deadline stop silently does nothing (ADVICE r4).
+if [ -f "${STOP}" ]; then
+  echo "--- removing stale stop file from a previous run (${STOP})"
+  rm -f "${STOP}"
+fi
 
 ATTEMPT=0
 while [ ! -f "${DONE}" ]; do

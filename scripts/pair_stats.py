@@ -23,6 +23,10 @@ import sys
 import numpy as np
 from scipy import stats
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from phiseg_tpu.metrics import estimator  # noqa: E402  (shared correction math)
+
 
 def load(d: str, samples: int, tag: str, suffix: str):
     out = {}
@@ -32,9 +36,11 @@ def load(d: str, samples: int, tag: str, suffix: str):
         for k in ("d_sy", "d_ss", "d_yy"):
             out[k] = np.asarray(z[k])
         out["N"], out["M"] = int(z["n_samples"]), int(z["n_annotators"])
-    out["ged_ub"] = (2 * out["d_sy"]
-                     - out["d_ss"] * out["N"] / (out["N"] - 1.0)
-                     - out["d_yy"] * out["M"] / (out["M"] - 1.0))
+    # NaN (printed as n/a, t-test skipped) when N=1 or M=1 -- the
+    # correction is undefined there (ADVICE r4: don't crash on degenerate
+    # protocols). Single implementation shared with cli.eval_plots.
+    out["ged_ub"] = estimator.unbiased_ged(
+        out["d_sy"], out["d_ss"], out["d_yy"], out["N"], out["M"])
     f = os.path.join(d, f"ncc{samples}_{tag}{suffix}.npz")
     if os.path.exists(f):
         with np.load(f) as z:
@@ -56,6 +62,13 @@ def main(argv=None):
     na, nb = os.path.basename(a.dir_a.rstrip("/")), os.path.basename(a.dir_b.rstrip("/"))
     n = len(A["ged"])
     assert n == len(B["ged"]), "pair requires the same test split"
+    # The annotator-only term depends solely on the GT split and its
+    # ordering, so it must be bit-comparable across a valid pairing; two
+    # dirs evaluated on different splits of the same size would otherwise
+    # silently produce a bogus paired p-value (ADVICE r4).
+    assert np.allclose(A["d_yy"], B["d_yy"]), (
+        "d_yy differs between the two dirs -- these evals are not over the "
+        "same test split/ordering, so a paired t-test is invalid")
 
     print(f"paired over n={n} test images ({na} vs {nb}, "
           f"N={A['N']} samples, M={A['M']} annotators, suffix='{a.suffix}')")
@@ -64,6 +77,10 @@ def main(argv=None):
                               ("ncc", "S_NCC", "higher")]:
         if key not in A or key not in B:
             continue
+        if np.isnan(A[key]).any() or np.isnan(B[key]).any():
+            print(f"  {label:15s}: n/a (correction undefined at "
+                  f"N={A['N']}, M={A['M']} -- need N>1 and M>1)")
+            continue
         t, pv = stats.ttest_rel(A[key], B[key])
         d = float(np.mean(A[key] - B[key]))
         better = na if (d < 0) == (arrow == "lower") else nb
@@ -71,9 +88,10 @@ def main(argv=None):
               f"(diff {d:+.4f}, t={t:.2f}, p={pv:.2e}) -> {better}"
               f" {'(n.s.)' if pv > 0.05 else ''}")
     for nm, X in ((na, A), (nb, B)):
-        ratio = X["d_ss"].mean() / (X["d_yy"].mean() * X["M"] / (X["M"] - 1.0))
-        dbar = X["d_yy"].mean() * X["M"] / (X["M"] - 1.0)
-        floor = (1.0 / X["N"] + 1.0 / X["M"]) * dbar
+        ratio = float(estimator.diversity_ratio(
+            X["d_ss"].mean(), X["d_yy"].mean(), X["M"]))
+        floor = float(estimator.calibrated_floor(
+            X["d_yy"].mean(), X["N"], X["M"]))
         print(f"  {nm}: d_sy {X['d_sy'].mean():.4f}  d_ss {X['d_ss'].mean():.4f}  "
               f"d_yy {X['d_yy'].mean():.4f}  ratio {ratio:.3f}  floor {floor:.4f}")
     return 0

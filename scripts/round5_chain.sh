@@ -100,13 +100,21 @@ extend_48k() {  # EXP DIRN  (auto-resume when the 24k ckpt is alive,
                 #  from-scratch 48k otherwise -- both matched-budget)
   local EXP="$1" DIRN="$2"
   local D="${PHISEG_LOG_ROOT}/${DIRN}/${EXP}"
-  if done_npz "results/${DIRN}/${EXP}/ncc50_best_ged_48k.npz"; then
+  if done_npz "results/${DIRN}/${EXP}/ncc50_best_ged_48k.npz" \
+     && done_npz "results/${DIRN}/${EXP}/ged50_best_ged_48k.npz"; then
     echo "--- ${EXP} 48k eval already harvested; skipping"
     return 0
   fi
   preflight || return 1
-  python -m phiseg_tpu.cli.train "${EXP}" --num-iter 48000 \
-    --no-image-summaries --no-histogram-summaries || return 1
+  # Skip the (multi-hour) training call when a completed 48k checkpoint is
+  # already alive -- a kill between training and eval should resume into
+  # eval only, not retrain (ADVICE r4).
+  if [ -f "${D}/model.ckpt-48000.msgpack" ]; then
+    echo "--- ${EXP} 48k checkpoint alive; going straight to eval"
+  else
+    python -m phiseg_tpu.cli.train "${EXP}" --num-iter 48000 \
+      --no-image-summaries --no-histogram-summaries || return 1
+  fi
   # --out-suffix keeps the canonical 24k-budget npz intact: matched-budget
   # tables must never silently mix training budgets.
   python -m phiseg_tpu.cli.test_quantitative "${D}" \
