@@ -21,6 +21,14 @@ if [ -f "${STOP}" ]; then
   rm -f "${STOP}"
 fi
 
+# Self-record the watcher's PID (== its PGID/SID under the documented
+# setsid launch) so deadline_stop.sh's `kill -- -PGID` hits the real
+# group. The old convention (`echo $! > /tmp/chain_watch.pid` at launch)
+# recorded the setsid wrapper's PID, which dies immediately -- observed
+# round 5: file said 1549, real PGID was 1553, so the deadline kill would
+# have been a no-op.
+echo $$ > "${CHAIN_WATCH_PID_FILE:-/tmp/chain_watch.pid}"
+
 ATTEMPT=0
 while [ ! -f "${DONE}" ]; do
   if [ -f "${STOP}" ]; then echo "--- stop file present; exiting"; exit 0; fi

@@ -1,4 +1,9 @@
 #!/usr/bin/env bash
+# SUPERSEDED by round5c_chain.sh: extend_48k below passes --max-images to
+# the nested-task (lidc_synth) evals, which only caps the config's
+# synth_n_test=32 split -- the nested 48k pair landed as n=32 evals. The
+# nested task needs --synth-n-test 256 (see train_eval_family.sh
+# MODE=synth). Kept for provenance of stages 1-3, which were correct.
 # Round-5b TPU queue (final round, second half) -- written after the
 # round-5 session restart. The evidence tree is complete (all quartets
 # harvested); what remains is closure:
